@@ -1,0 +1,139 @@
+"""Continuous-aggregate rollup tiers (1m → 1h → 1d) with retention.
+
+The reference maintains per-window statistics incrementally
+(``append_value``'s O(1) μ/s² update, /root/reference/src/symtseries.c:434-479).
+The distributed analogue is *re-aggregable partials*: every tier row carries
+(cnt, sum, sumsq) so a coarser tier is a pure ``groupBy().agg(sum(...))``
+over the finer tier — map-side partial aggregation + one shuffle per tier,
+never a rescan of raw data. At 100 TB the raw table is touched exactly once
+(the 1m rollup); 1h reads the 1m table (~1/60 the rows), 1d reads 1h.
+
+All expressions are built-in Column functions → whole-stage codegen, no
+Python in this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from symtseries_spark.config import TIER_INTERVAL
+
+_TRUNC_UNIT = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+#: canonical rollup schema (FIXTURES.md §2) minus the key column
+ROLLUP_COLS = [
+    "tier",
+    "bucket_ts",
+    "crawl_cnt",
+    "text_len_sum",
+    "text_len_avg",
+    "cnt",
+    "sum",
+    "sumsq",
+]
+
+
+def rollup_raw(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_expr,
+    tier: str = "1m",
+) -> DataFrame:
+    """Base-tier rollup straight from raw rows.
+
+    ``value_expr`` is the signal Column (e.g. ``F.length('text')``). Emits
+    the re-aggregable partial triple (cnt, sum, sumsq) alongside the
+    user-facing aggregates.
+    """
+    v = value_expr.cast("double")
+    out = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), TIER_INTERVAL[tier]).alias("wnd"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("crawl_cnt"),
+            F.sum(v).cast("long").alias("text_len_sum"),
+            F.avg(v).alias("text_len_avg"),
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sumsq"),
+        )
+        .select(
+            "key",
+            F.lit(tier).alias("tier"),
+            F.col("wnd.start").alias("bucket_ts"),
+            "crawl_cnt",
+            "text_len_sum",
+            "text_len_avg",
+            "cnt",
+            "sum",
+            "sumsq",
+        )
+    )
+    return out
+
+
+def rollup_cascade(lower: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate a finer tier's partials into ``tier`` (no raw rescan)."""
+    unit = _TRUNC_UNIT[tier]
+    return (
+        lower.groupBy("key", F.date_trunc(unit, "bucket_ts").alias("bucket_ts"))
+        .agg(
+            F.sum("crawl_cnt").alias("crawl_cnt"),
+            F.sum("text_len_sum").alias("text_len_sum"),
+            (F.sum("sum") / F.sum("cnt")).alias("text_len_avg"),
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sumsq").alias("sumsq"),
+        )
+        .select(
+            "key",
+            F.lit(tier).alias("tier"),
+            "bucket_ts",
+            "crawl_cnt",
+            "text_len_sum",
+            "text_len_avg",
+            "cnt",
+            "sum",
+            "sumsq",
+        )
+    )
+
+
+def rollup_all_tiers(
+    df: DataFrame, key_col: str, ts_col: str, value_expr
+) -> dict[str, DataFrame]:
+    """Full 1m → 1h → 1d cascade. Returns {tier: DataFrame}."""
+    t1m = rollup_raw(df, key_col, ts_col, value_expr, "1m")
+    t1h = rollup_cascade(t1m, "1h")
+    t1d = rollup_cascade(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
+
+
+def with_stddev(rollup: DataFrame) -> DataFrame:
+    """Population std recovered from partials: sqrt(sumsq/cnt − (sum/cnt)²).
+
+    This is the algebraic identity that makes the partial triple sufficient
+    — the distributed analogue of the reference's incremental s² update.
+    """
+    mean = F.col("sum") / F.col("cnt")
+    var = F.col("sumsq") / F.col("cnt") - mean * mean
+    return rollup.withColumn("value_std", F.sqrt(F.greatest(var, F.lit(0.0))))
+
+
+def apply_retention(rollup: DataFrame, tier: str, now, horizons: dict) -> DataFrame:
+    """Drop buckets older than the tier's retention horizon.
+
+    With bucket_ts-partitioned storage this predicate is a partition prune —
+    expired data is never read, and on Iceberg the physical delete is a
+    metadata-only ``DELETE WHERE bucket_ts < horizon``.
+    """
+    horizon_s = horizons[tier]
+    return rollup.filter(
+        F.col("bucket_ts") >= F.to_timestamp(F.lit(now)) - F.expr(
+            f"INTERVAL {int(horizon_s)} SECOND"
+        )
+    )
