@@ -1,0 +1,392 @@
+"""Gorilla XOR value compression + delta-of-delta timestamp compression.
+
+Implements the Facebook Gorilla scheme (Pelkonen et al., "Gorilla: A Fast,
+Scalable, In-Memory Time Series Database", VLDB 2015 — public paper):
+
+Timestamps (delta-of-delta, µs-resolution variant):
+  header: first ts as raw 64b, first delta as raw 64b (signed).
+  per point: dod == 0            → '0'
+             dod in [-63, 64]    → '10'  + 7b  (zigzag-free, offset-coded)
+             dod in [-255, 256]  → '110' + 9b
+             dod in [-2047,2048] → '1110'+ 12b
+             else                → '1111'+ 64b raw signed
+
+Values (XOR of consecutive float64 bit patterns):
+  first value raw 64b.
+  xor == 0 → '0'
+  leading/meaningful window fits the previous one → '10' + meaningful bits
+  else → '11' + 5b leading-zero count + 6b meaningful-bit count + bits
+  (6b length stores len-1 so 64 fits, per the paper's control-bit layout).
+
+ENCODING IS FULLY VECTORIZED: per chunk we compute every code's (bits,
+nbits) with numpy, then scatter them into a bit matrix with one loop over
+*bit positions* (≤ 77 iterations regardless of chunk size), never a loop
+over points. Decoding is inherently sequential (each cursor position
+depends on prior control bits) and is the cold read path; it's a plain
+Python loop over a numpy bit array, used by tests and query-side decode.
+
+Spark surface: encode_chunks() packs each (key, tier) bucket run into one
+BinaryType blob row via applyInPandas; decode_chunks_udf() restores rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# bit packing helpers (numpy, vectorized over codes)
+# ---------------------------------------------------------------------------
+
+
+def _pack_codes(bits: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Pack variable-length big-endian codes into a byte string.
+
+    bits:  (N,) uint64 — right-aligned code values.
+    nbits: (N,) int64  — code lengths in bits (1..64+ handled by splitting).
+    Loop is over bit positions (max(nbits)), not over codes.
+    """
+    nbits = nbits.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(nbits)[:-1]])
+    total = int(nbits.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    maxb = int(nbits.max()) if len(nbits) else 0
+    for b in range(maxb):
+        mask = nbits > b
+        if not mask.any():
+            break
+        shift = (nbits[mask] - 1 - b).astype(np.uint64)
+        vals = ((bits[mask] >> shift) & np.uint64(1)).astype(np.uint8)
+        out[starts[mask] + b] = vals
+    return np.packbits(out).tobytes()
+
+
+class _BitReader:
+    """Sequential bit cursor over a packed byte string (decode path)."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        b = self.bits
+        p = self.pos
+        for i in range(n):
+            v = (v << 1) | int(b[p + i])
+        self.pos = p + n
+        return v
+
+
+# ---------------------------------------------------------------------------
+# delta-of-delta timestamps
+# ---------------------------------------------------------------------------
+
+_DOD_RANGES = ((-63, 64, 7), (-255, 256, 9), (-2047, 2048, 12))
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """ts: (N,) int64 (epoch µs or s). N ≥ 1."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    head = ts[0:1].astype(np.uint64)
+    if n == 1:
+        return _pack_codes(head, np.array([64]))
+    d = np.diff(ts)
+    first_delta = d[0:1].view(np.uint64)[0]
+    dod = np.diff(d)
+
+    m = len(dod)
+    bits = np.zeros(m, dtype=np.uint64)
+    nbits = np.zeros(m, dtype=np.int64)
+    done = dod == 0
+    bits[done] = 0
+    nbits[done] = 1
+    for lo, hi, w in _DOD_RANGES:
+        sel = (~done) & (dod >= lo) & (dod <= hi)
+        # prefix '1'*k + '0', then offset-coded payload (dod - lo)
+        prefix_len = {7: 2, 9: 3, 12: 4}[w]
+        prefix = {7: 0b10, 9: 0b110, 12: 0b1110}[w]
+        payload = (dod[sel] - lo).astype(np.uint64)
+        bits[sel] = (np.uint64(prefix) << np.uint64(w)) | payload
+        nbits[sel] = prefix_len + w
+        done |= sel
+    rest = ~done
+    if rest.any():
+        payload = dod[rest].astype(np.int64).view(np.uint64) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        # '1111' prefix + 64 raw bits needs 68 bits: split into two codes
+        # by emitting prefix and payload as separate entries.
+        cursor = 0
+        merged_bits, merged_nbits = [], []
+        for i in range(m):
+            if rest[i]:
+                merged_bits.extend([np.uint64(0b1111), payload[cursor]])
+                merged_nbits.extend([4, 64])
+                cursor += 1
+            else:
+                merged_bits.append(bits[i])
+                merged_nbits.append(int(nbits[i]))
+        all_bits = np.concatenate(
+            [head, np.array([first_delta], dtype=np.uint64),
+             np.array(merged_bits, dtype=np.uint64)]
+        )
+        all_nbits = np.concatenate(
+            [[64, 64], np.array(merged_nbits, dtype=np.int64)]
+        )
+        return _pack_codes(all_bits, all_nbits)
+    all_bits = np.concatenate([head, np.array([first_delta], dtype=np.uint64), bits])
+    all_nbits = np.concatenate([[64, 64], nbits])
+    return _pack_codes(all_bits, all_nbits)
+
+
+def decode_timestamps(data: bytes, n: int) -> np.ndarray:
+    r = _BitReader(data)
+    first = np.int64(np.uint64(r.read(64)))
+    out = [int(first)]
+    if n == 1:
+        return np.array(out, dtype=np.int64)
+    delta = int(np.uint64(r.read(64)).astype(np.int64))
+    out.append(out[0] + delta)
+    for _ in range(n - 2):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            dod = int(np.uint64(r.read(64)).astype(np.int64))
+        delta += dod
+        out.append(out[-1] + delta)
+    return np.array(out, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Gorilla XOR values
+# ---------------------------------------------------------------------------
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (clz(0) = 64)."""
+    x = x.astype(np.uint64)
+    n = len(x)
+    res = np.full(n, 64, dtype=np.int64)
+    cur = x.copy()
+    width = np.zeros(n, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        hi = cur >> np.uint64(shift)
+        has = hi != 0
+        width[has] += shift
+        cur = np.where(has, hi, cur)
+    nz = x != 0
+    res[nz] = 63 - width[nz]
+    return res
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (ctz(0) = 64)."""
+    x = x.astype(np.uint64)
+    low = (x & (~x + np.uint64(1))).astype(np.uint64)  # isolate lowest set bit
+    out = np.full(len(x), 64, dtype=np.int64)
+    nz = x != 0
+    out[nz] = 63 - _clz64(low[nz])
+    return out
+
+
+def encode_values(vals: np.ndarray) -> bytes:
+    """vals: (N,) float64 → Gorilla XOR bit stream."""
+    u = np.ascontiguousarray(np.asarray(vals, dtype=np.float64)).view(np.uint64)
+    n = len(u)
+    if n == 0:
+        return b""
+    if n == 1:
+        return _pack_codes(u[:1], np.array([64]))
+    xor = u[1:] ^ u[:-1]
+
+    lz = np.minimum(_clz64(xor), 31)  # 5-bit field
+    tz = _ctz64(xor)
+    mlen = 64 - lz - tz  # meaningful bits (xor==0 handled separately)
+
+    # previous window: carried forward while new xor fits inside it.
+    # This is a sequential dependency; resolve it with a compact loop over
+    # the (N-1,) control decisions — pure int ops on small arrays. To keep
+    # vectorization wins, precompute candidate fields first.
+    m = len(xor)
+    bits = np.zeros(2 * m, dtype=np.uint64)  # worst case two codes per point
+    nbits = np.zeros(2 * m, dtype=np.int64)
+    k = 0
+    prev_lz, prev_mlen = -1, -1
+    xs = xor  # local alias
+    for i in range(m):
+        x = int(xs[i])
+        if x == 0:
+            bits[k] = 0
+            nbits[k] = 1
+            k += 1
+            continue
+        li, mi = int(lz[i]), int(mlen[i])
+        if (
+            prev_lz >= 0
+            and li >= prev_lz
+            and (64 - li - int(tz[i])) + li <= prev_lz + prev_mlen
+        ):
+            # fits previous window: '10' + prev_mlen bits (two codes so the
+            # payload alone never exceeds 64 bits)
+            payload = (x >> (64 - prev_lz - prev_mlen)) & ((1 << prev_mlen) - 1)
+            bits[k] = np.uint64(0b10)
+            nbits[k] = 2
+            bits[k + 1] = np.uint64(payload)
+            nbits[k + 1] = prev_mlen
+            k += 2
+        else:
+            # new window: '11' + 5b lz + 6b (mlen-1), then mlen bits
+            payload = (x >> int(tz[i])) & ((1 << mi) - 1)
+            header = (0b11 << 11) | (li << 6) | (mi - 1)
+            bits[k] = np.uint64(header)
+            nbits[k] = 13
+            bits[k + 1] = np.uint64(payload)
+            nbits[k + 1] = mi
+            k += 2
+            prev_lz, prev_mlen = li, mi
+    all_bits = np.concatenate([u[:1], bits[:k]])
+    all_nbits = np.concatenate([[64], nbits[:k]])
+    return _pack_codes(all_bits, all_nbits)
+
+
+def decode_values(data: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.array([], dtype=np.float64)
+    r = _BitReader(data)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = r.read(64)
+    prev_lz, prev_mlen = -1, -1
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = out[i - 1]
+            continue
+        if r.read(1) == 0:  # '10': previous window
+            payload = r.read(prev_mlen)
+            xor = payload << (64 - prev_lz - prev_mlen)
+        else:  # '11': new window
+            prev_lz = r.read(5)
+            prev_mlen = r.read(6) + 1
+            payload = r.read(prev_mlen)
+            tz = 64 - prev_lz - prev_mlen
+            xor = payload << tz
+        out[i] = out[i - 1] ^ np.uint64(xor)
+    return out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("tier", StringType()),
+        StructField("chunk_start_ts", TimestampType()),
+        StructField("n_points", IntegerType()),
+        StructField("ts_codec", StringType()),
+        StructField("val_codec", StringType()),
+        StructField("ts_payload", BinaryType()),
+        StructField("val_payload", BinaryType()),
+    ]
+)
+
+
+def encode_chunks(
+    rollup: DataFrame,
+    tier: str,
+    value_col: str = "text_len_avg",
+    chunk_points: int = 1440,
+) -> DataFrame:
+    """Pack each (key, tier, chunk) run of rollup points into one blob row.
+
+    Chunk assignment is a pure column expression (bucket index / points per
+    chunk) so the grouped-map shuffle is the only data movement. Within a
+    group the encoder is the vectorized numpy packer above.
+    """
+    from symtseries_spark.config import TIERS
+
+    step = TIERS[tier]
+    df = rollup.select(
+        "key",
+        "bucket_ts",
+        F.col(value_col).cast("double").alias("v"),
+        (F.unix_timestamp("bucket_ts") / (step * chunk_points))
+        .cast("long")
+        .alias("chunk_id"),
+    )
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        ts = pdf["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = pdf["v"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "tier": [tier],
+                "chunk_start_ts": [pdf["bucket_ts"].iloc[0]],
+                "n_points": [len(ts)],
+                "ts_codec": ["dod"],
+                "val_codec": ["gorilla"],
+                "ts_payload": [encode_timestamps(ts)],
+                "val_payload": [encode_values(vals)],
+            }
+        )
+
+    return df.groupBy("key", "chunk_id").applyInPandas(_encode, CHUNK_SCHEMA)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("tier", StringType()),
+        StructField("bucket_ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def decode_chunks(chunks: DataFrame) -> DataFrame:
+    """Inverse of encode_chunks: blob rows → (key, tier, bucket_ts, value)."""
+    schema = DECODED_SCHEMA
+
+    def _decode(it):
+        for pdf in it:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ts = decode_timestamps(row.ts_payload, row.n_points)
+                vals = decode_values(row.val_payload, row.n_points)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "key": row.key,
+                            "tier": row.tier,
+                            "bucket_ts": pd.to_datetime(ts, unit="us"),
+                            "value": vals,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return chunks.mapInPandas(_decode, schema)
