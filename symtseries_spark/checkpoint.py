@@ -1,0 +1,126 @@
+"""Per-partition watermark + lineage checkpointing for resumable reruns.
+
+The reference persists window state as a replayable script via its
+lua_sandbox ``serialize_sax`` hook (/root/reference/lua/lua_sax.c:293-342).
+The distributed analogue is a small checkpoint *table*:
+
+    (partition_id int, tier string, high_watermark_ts timestamp,
+     rows_in long, rows_out long, run_id string, updated_at timestamp)
+
+Semantics:
+  * Each rollup run reads the checkpoint, processes only input with
+    ts > high_watermark (per time-partition), and overwrites exactly the
+    output partitions it touched (idempotent overwrite-by-partition), then
+    appends a new checkpoint generation.
+  * ``latest_watermarks`` reduces the log to current state, so the log
+    doubles as lineage/metrics history (rows_in/rows_out per run per tier).
+  * A rerun with the same run_id is a no-op-equivalent: it recomputes the
+    same partitions and overwrites them with identical bytes (deterministic
+    pipeline), which is the idempotence property tests pin.
+
+Partitioning note: "partition_id" here is the *time bucket partition*
+(date of bucket_ts) — the unit of overwrite — not a shuffle partition id,
+so the checkpoint stays valid across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+CHECKPOINT_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("tier", StringType()),
+        StructField("high_watermark_ts", TimestampType()),
+        StructField("rows_in", LongType()),
+        StructField("rows_out", LongType()),
+        StructField("run_id", StringType()),
+        StructField("updated_at", TimestampType()),
+    ]
+)
+
+
+def read_checkpoints(spark: SparkSession, path: str) -> DataFrame:
+    if not os.path.exists(path):
+        return spark.createDataFrame([], CHECKPOINT_SCHEMA)
+    return spark.read.parquet(path)
+
+
+def latest_watermarks(cp: DataFrame) -> DataFrame:
+    """Reduce the append-only log to the live watermark per (partition, tier)."""
+    return cp.groupBy("partition_id", "tier").agg(
+        F.max("high_watermark_ts").alias("high_watermark_ts")
+    )
+
+
+def filter_new_input(
+    df: DataFrame, ts_col: str, watermarks: DataFrame, tier: str
+) -> DataFrame:
+    """Keep only rows strictly after the tier's global high watermark.
+
+    The watermark table is tiny → collected to the driver and pushed down
+    as a literal predicate so the scan itself prunes (partition pruning on
+    a date-partitioned table; rowgroup stats pruning on plain parquet).
+    """
+    rows = watermarks.filter(F.col("tier") == tier).agg(
+        F.min("high_watermark_ts")
+    ).first()
+    hw = rows[0] if rows else None
+    if hw is None:
+        return df
+    return df.filter(F.col(ts_col) > F.lit(hw))
+
+
+def append_checkpoint(
+    spark: SparkSession,
+    path: str,
+    tier: str,
+    high_watermark_ts,
+    rows_in: int,
+    rows_out: int,
+    run_id: str | None = None,
+    partition_id: int = 0,
+) -> str:
+    run_id = run_id or uuid.uuid4().hex[:12]
+    row = [
+        (
+            partition_id,
+            tier,
+            high_watermark_ts,
+            rows_in,
+            rows_out,
+            run_id,
+            dt.datetime.utcnow(),
+        )
+    ]
+    spark.createDataFrame(row, CHECKPOINT_SCHEMA).write.mode("append").parquet(path)
+    return run_id
+
+
+def write_partitioned(df: DataFrame, path: str, tier: str) -> None:
+    """Idempotent overwrite-by-partition write of a rollup tier.
+
+    Dynamic partition overwrite replaces exactly the (tier, bucket_date)
+    partitions present in df — a rerun of the same input slice rewrites
+    the same partitions with the same bytes and nothing else.
+    """
+    (
+        df.withColumn("bucket_date", F.to_date("bucket_ts"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tier", "bucket_date")
+        .parquet(path)
+    )

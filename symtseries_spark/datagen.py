@@ -71,6 +71,10 @@ def gen_crawl(
     # deterministic gaps: whole missing (url, visit) buckets
     gap_h = F.pmod(F.col("url_idx") * 31 + F.col("visit") * 17, F.lit(gap_mod))
     df = df.filter(gap_h != 0)
+    # url-level skew: ~1/17 of urls are "hot" (keep every visit); the rest
+    # keep 1 visit in 5 → hot urls carry ~5× the rows (aggregation-skew tests)
+    hot_url = F.col("url_idx") % 17 == 0
+    df = df.filter(hot_url | (F.col("visit") % 5 == 0))
 
     # text length signal: per-url base length + a periodic "shape" over
     # visits (so per-url text-length series have structure worth symbolizing)

@@ -1,0 +1,257 @@
+"""iSAX-word inverted index + similarity queries (ANN / mindist range).
+
+Index model: a DataFrame ``(word, w, c, n, tier, key, window_ts)`` — one row
+per symbolized window — written out partitioned/bucketed by ``word`` so both
+query modes prune:
+
+  * exact-word candidates (the iSAX "approximate search" step) is an
+    equi-join on (word, w, c) → with bucketing, a shuffle-free lookup; the
+    tiny query set is always broadcast.
+  * mindist range/k-NN search exploits the *lower-bound* property (the whole
+    point of SAX): compute mindist(query, word) per index row with one
+    vectorized Arrow pass, prune rows whose lower bound exceeds the radius /
+    running k-th best, and only then (optionally) refine survivors against
+    their raw series.
+
+Per-segment cardinality promotion (iSAX 2.0, Camerra et al. 2010 — the
+feature the reference marks TODO at /root/reference/include/symtseries.h:32)
+is provided by ``promote_words``: hot words are split by re-symbolizing one
+segment at doubled cardinality, which subdivides an overfull bucket without
+touching the rest of the index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from symtseries_spark import kernel as K
+from symtseries_spark.operators.symbolize import (
+    MINDIST_SCHEMA,
+    _strings_from_symbols,
+    _symbols_from_strings,
+    mindist_udf,
+)
+
+
+def build_index(symbolized: DataFrame, tier: str = "1h") -> DataFrame:
+    """Symbolized windows → index rows (word, w, c, n, tier, key, window_ts)."""
+    return symbolized.select(
+        "word",
+        "w",
+        "c",
+        "n",
+        F.lit(tier).alias("tier"),
+        "key",
+        "window_ts",
+    )
+
+
+def write_index(index: DataFrame, path: str, buckets: int = 64) -> None:
+    """Persist the index partitioned by word hash.
+
+    `repartition(word)` co-locates equal words so exact-match lookups touch
+    few files; at cluster scale this would be a bucketed/Iceberg table with
+    a sort order on word.
+    """
+    index.repartition(buckets, "word").write.mode("overwrite").parquet(path)
+
+
+def exact_candidates(index: DataFrame, query_word: str, w: int, c: int) -> DataFrame:
+    """iSAX approximate search: rows whose word equals the query's word."""
+    return index.filter(
+        (F.col("word") == query_word) & (F.col("w") == w) & (F.col("c") == c)
+    )
+
+
+def mindist_scan(
+    index: DataFrame,
+    query_word: str,
+    c: int,
+    n_query: int = 0,
+) -> DataFrame:
+    """Annotate every compatible index row with mindist(query, word).
+
+    One Arrow-vectorized pass; Catalyst prunes to the (w, c)-compatible
+    slice first so the UDF only sees candidate rows.
+    """
+    w = len(query_word)
+    compat = index.filter((F.col("w") == w) & (F.col("c") == c))
+    m = mindist_udf(query_word, c, n_query)(F.col("word"))
+    return compat.withColumn("mindist", m["d"]).withColumn(
+        "mindist_above", m["above"]
+    ).withColumn("mindist_below", m["below"])
+
+
+def range_query(
+    index: DataFrame, query_word: str, c: int, radius: float, n_query: int = 0
+) -> DataFrame:
+    """All index rows whose *lower bound* distance ≤ radius.
+
+    Because mindist lower-bounds the true Euclidean distance, rows filtered
+    out here can never be true matches — no false dismissals (SAX
+    guarantee). Survivors may be refined with refine_topk/exact distance.
+    """
+    return mindist_scan(index, query_word, c, n_query).filter(
+        F.col("mindist") <= radius
+    )
+
+
+def knn_query(
+    index: DataFrame, query_word: str, c: int, k: int, n_query: int = 0
+) -> DataFrame:
+    """Top-k index rows by mindist lower bound (candidate set for exact kNN).
+
+    orderBy(limit k) compiles to TakeOrderedAndProject — per-partition
+    top-k heaps + single-driver merge of k·P rows, no global sort shuffle.
+    """
+    return (
+        mindist_scan(index, query_word, c, n_query)
+        .orderBy(F.col("mindist").asc(), F.col("key").asc(), F.col("window_ts").asc())
+        .limit(k)
+    )
+
+
+def refine_knn(
+    candidates: DataFrame,
+    series_df: DataFrame,
+    query_series: np.ndarray,
+    k: int,
+) -> DataFrame:
+    """Exact refinement: join candidates back to raw series and rank by true
+    z-normalized Euclidean distance. candidates ≪ index, so the join
+    broadcasts the candidate side."""
+    q = np.asarray(query_series, dtype=np.float64)
+    qz = q.copy()
+    fin = np.isfinite(qz)
+    if fin.any() and qz[fin].std() > 0:
+        qz[fin] = (qz[fin] - qz[fin].mean()) / qz[fin].std()
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _euclid(series: pd.Series) -> pd.Series:
+        if len(series) == 0:
+            return pd.Series([], dtype=np.float64)
+        X = np.stack(series.to_numpy()).astype(np.float64, copy=False)
+        mu = np.nanmean(np.where(np.isfinite(X), X, np.nan), axis=1, keepdims=True)
+        sd = np.nanstd(np.where(np.isfinite(X), X, np.nan), axis=1, keepdims=True)
+        sd = np.where(sd == 0, 1.0, sd)
+        Z = (X - mu) / sd
+        diff = np.where(np.isfinite(Z) & np.isfinite(qz), Z - qz, 0.0)
+        return pd.Series(np.sqrt((diff * diff).sum(axis=1)))
+
+    joined = series_df.join(
+        F.broadcast(candidates.select("key", "window_ts")), ["key", "window_ts"]
+    )
+    return joined.withColumn("euclid", _euclid("series")).orderBy(
+        F.col("euclid").asc()
+    ).limit(k)
+
+
+def exact_knn(
+    index_with_series: DataFrame,
+    query_series: np.ndarray,
+    w: int,
+    c: int,
+    k: int,
+    probe_factor: int = 4,
+) -> DataFrame:
+    """Exact k-NN using the mindist lower bound for pruning (no false
+    dismissals — the classic SAX multi-step search):
+
+      1. one vectorized mindist pass over the index,
+      2. refine the best ``probe_factor·k`` candidates to exact distance,
+      3. τ = k-th best exact distance; every row with mindist > τ is
+         provably farther than the current answer set, so refine only the
+         (rare) remaining rows with mindist ≤ τ.
+
+    Two Arrow passes worst case; the second touches only rows the lower
+    bound could not prune.
+    """
+    q = np.asarray(query_series, dtype=np.float64)
+    qword = K.symbols_to_string(K.symbolize(q, w, c), c)
+    n = len(q)
+    scan = mindist_scan(index_with_series, qword, c, n).persist()
+    try:
+        probe = scan.orderBy(F.col("mindist").asc()).limit(max(k * probe_factor, k))
+        probed = refine_knn(probe, index_with_series, q, max(k * probe_factor, k))
+        top = probed.orderBy(F.col("euclid").asc()).limit(k).collect()
+        if len(top) < k:
+            tau = float("inf")
+        else:
+            tau = max(r.euclid for r in top)
+        rest = scan.filter(F.col("mindist") <= tau)
+        final = refine_knn(rest, index_with_series, q, k)
+        return final
+    finally:
+        scan.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# iSAX 2.0 per-segment cardinality promotion
+# ---------------------------------------------------------------------------
+
+
+def promote_words(
+    symbolized: DataFrame,
+    segment: int,
+    hot_words: DataFrame | None = None,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Split overfull word buckets by doubling one segment's cardinality.
+
+    For rows whose word is 'hot' (bucket size > threshold), re-symbolize
+    PAA segment ``segment`` from the stored raw series at cardinality 2c and
+    append ``word_promoted`` = word with that segment's letter replaced by
+    the finer 2c letter (lowercase-tagged to keep cardinalities
+    distinguishable in one string column). Cold rows keep their word.
+
+    This reproduces the iSAX 2.0 node-split idea as a pure DataFrame
+    transform: no global rebuild, only hot buckets are rewritten.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    if hot_words is None:
+        counts = symbolized.groupBy("word", "w", "c").count()
+        threshold = threshold or 0
+        hot_words = counts.filter(F.col("count") > threshold).select("word", "w", "c")
+
+    tagged = symbolized.join(
+        F.broadcast(hot_words.withColumn("_hot", F.lit(True))),
+        ["word", "w", "c"],
+        "left",
+    ).withColumn("_hot", F.coalesce("_hot", F.lit(False)))
+
+    def make_udf(w: int, c: int, n: int):
+        @pandas_udf(StringType())
+        def _promote(series: pd.Series, words: pd.Series) -> pd.Series:
+            if len(series) == 0:
+                return pd.Series([], dtype=object)
+            X = np.stack(series.to_numpy()).astype(np.float64, copy=False)
+            syms2c = K.symbolize_batch(X, w, 2 * c)  # same PAA, finer alphabet
+            seg_letters = _strings_from_symbols(
+                syms2c[:, segment : segment + 1], 2 * c
+            )
+            out = []
+            for word, fine in zip(words.to_numpy(), seg_letters):
+                out.append(
+                    word[:segment] + fine.lower() + word[segment + 1 :]
+                )
+            return pd.Series(out)
+
+        return _promote
+
+    # w, c, n are constant per call in our engine (fixed SaxConfig)
+    first = symbolized.select("w", "c", "n").first()
+    udf = make_udf(int(first.w), int(first.c), int(first.n))
+    return tagged.withColumn(
+        "word_promoted",
+        F.when(F.col("_hot"), udf(F.col("series"), F.col("word"))).otherwise(
+            F.col("word")
+        ),
+    ).drop("_hot")

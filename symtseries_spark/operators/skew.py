@@ -1,0 +1,93 @@
+"""Skew handling: salted two-phase aggregation for hot keys.
+
+AQE's skew-join splitting fixes skewed *joins*, not skewed aggregations.
+A zipf url distribution (one host with ~30% of rows) funnels those rows
+into one reducer at ``groupBy(url, window)``. The fix is classic salting,
+kept *result-identical* by running the aggregation in two phases over the
+re-aggregable partials (cnt/sum/sumsq algebra — same trick as the tier
+cascade):
+
+  phase 1: groupBy(key, bucket, salt) with salt = crc32(row-unique) % S for
+           hot keys, 0 for cold keys → at most S partial rows per hot bucket
+  phase 2: groupBy(key, bucket) summing the partials → exact results
+
+Hot keys are detected from a cheap sampled count (driver-side broadcast of
+a tiny set), or supplied explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from symtseries_spark.config import TIER_INTERVAL
+
+
+def detect_hot_keys(
+    df: DataFrame, key_col: str, threshold: float = 0.02, sample: float = 0.01
+) -> list:
+    """Keys holding more than ``threshold`` share of rows (sampled estimate)."""
+    s = df.sample(fraction=min(1.0, sample), seed=42).groupBy(key_col).count()
+    total = s.agg(F.sum("count")).first()[0] or 0
+    if not total:
+        return []
+    hot = s.filter(F.col("count") > threshold * total).select(key_col).collect()
+    return [r[0] for r in hot]
+
+
+def salted_rollup(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_expr,
+    tier: str = "1m",
+    hot_keys: list | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact rollup_raw results, computed skew-free via two-phase salting."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(df, key_col)
+    v = value_expr.cast("double")
+    salt = (
+        F.when(
+            F.col(key_col).isin(hot_keys),
+            F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")),
+                   F.lit(salt_buckets)),
+        ).otherwise(F.lit(0))
+        if hot_keys
+        else F.lit(0)
+    )
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), TIER_INTERVAL[tier]).alias("wnd"),
+            "_salt",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("crawl_cnt"),
+            F.sum(v).alias("sum"),
+            F.count(v).alias("cnt"),
+            F.sum(v * v).alias("sumsq"),
+        )
+    )
+    return (
+        phase1.groupBy("key", "wnd")
+        .agg(
+            F.sum("crawl_cnt").alias("crawl_cnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("cnt").alias("cnt"),
+            F.sum("sumsq").alias("sumsq"),
+        )
+        .select(
+            "key",
+            F.lit(tier).alias("tier"),
+            F.col("wnd.start").alias("bucket_ts"),
+            "crawl_cnt",
+            F.col("sum").cast("long").alias("text_len_sum"),
+            (F.col("sum") / F.col("cnt")).alias("text_len_avg"),
+            "cnt",
+            "sum",
+            "sumsq",
+        )
+    )

@@ -1,0 +1,158 @@
+"""Index/ANN tests: exact-word lookup, mindist range/kNN vs brute force,
+lower-bound guarantee, and iSAX 2.0 segment promotion."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from symtseries_spark import kernel as K
+from symtseries_spark.operators.index import (
+    build_index,
+    exact_candidates,
+    knn_query,
+    mindist_scan,
+    promote_words,
+    range_query,
+    refine_knn,
+)
+
+N, W, C = 32, 8, 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.RandomState(21)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    for i in range(300):
+        s = rng.normal(size=N)
+        if i % 3 == 0:
+            s = np.sin(np.linspace(0, 4, N)) + rng.normal(scale=0.05, size=N)
+        key = f"k{i}"
+        wts = base + dt.timedelta(hours=i)
+        series[(key, wts)] = s
+        word = str(K.Word.from_series(s, W, C))
+        rows.append(
+            Row(key=key, window_ts=wts, word=word, w=W, c=C, n=N,
+                series=[float(x) for x in s])
+        )
+    df = spark.createDataFrame(rows)
+    return df, series
+
+
+def test_exact_candidates(spark, corpus):
+    df, series = corpus
+    idx = build_index(df, "1h")
+    some_word = df.first().word
+    got = exact_candidates(idx, some_word, W, C)
+    brute = [r.key for r in df.filter(F.col("word") == some_word).collect()]
+    assert sorted(r.key for r in got.collect()) == sorted(brute)
+
+
+def test_mindist_scan_matches_kernel(spark, corpus):
+    df, series = corpus
+    idx = build_index(df, "1h")
+    qs = np.sin(np.linspace(0, 4, N))
+    qword = str(K.Word.from_series(qs, W, C))
+    scan = {r.key: r.mindist for r in mindist_scan(idx, qword, C, N).collect()}
+    qw = K.Word.from_series(qs, W, C)
+    for (key, wts), s in series.items():
+        expect = K.mindist(qw, K.Word.from_series(s, W, C))[0]
+        assert scan[key] == pytest.approx(expect, abs=1e-9)
+
+
+def test_range_and_knn_no_false_dismissals(spark, corpus):
+    df, series = corpus
+    idx = build_index(df, "1h")
+    qs = np.sin(np.linspace(0, 4, N))
+    qword = str(K.Word.from_series(qs, W, C))
+    qz = (qs - qs.mean()) / qs.std()
+
+    def true_dist(s):
+        z = (s - s.mean()) / s.std()
+        return float(np.sqrt(((z - qz) ** 2).sum()))
+
+    radius = 3.0
+    got = {r.key for r in range_query(idx, qword, C, radius, N).collect()}
+    # SAX guarantee: every series whose TRUE distance ≤ radius must survive
+    for (key, wts), s in series.items():
+        if true_dist(s) <= radius:
+            assert key in got, f"false dismissal for {key}"
+
+    k = 10
+    cands = knn_query(idx, qword, C, k * 5, N)
+    refined = refine_knn(cands, df.select("key", "window_ts", "series"), qs, k)
+    rows = refined.collect()
+    assert len(rows) == k
+    # approximate answers are candidate-optimal: each returned euclid matches
+    # the true distance of its series, and results are sorted
+    got_d = [r.euclid for r in rows]
+    assert got_d == sorted(got_d)
+    for r in rows:
+        assert r.euclid == pytest.approx(true_dist(series[(r.key, r.window_ts)]), abs=1e-9)
+    # all within the best brute-force 20% (the sin cluster dominates)
+    dists = sorted(true_dist(s) for s in series.values())
+    cutoff = dists[len(dists) // 5]
+    assert all(d <= cutoff + 1e-9 for d in got_d[:3])
+
+
+def test_exact_knn_matches_brute_force(spark, corpus):
+    from symtseries_spark.operators.index import exact_knn
+
+    df, series = corpus
+    qs = np.sin(np.linspace(0, 4, N))
+    qz = (qs - qs.mean()) / qs.std()
+
+    def true_dist(s):
+        z = (s - s.mean()) / s.std()
+        return float(np.sqrt(((z - qz) ** 2).sum()))
+
+    k = 10
+    got = exact_knn(df, qs, W, C, k).collect()
+    brute = sorted(true_dist(s) for s in series.values())[:k]
+    assert [r.euclid for r in got] == pytest.approx(brute, abs=1e-9)
+
+
+def test_knn_lower_bound_ordering(spark, corpus):
+    df, _ = corpus
+    idx = build_index(df, "1h")
+    qword = str(K.Word.from_series(np.sin(np.linspace(0, 4, N)), W, C))
+    rows = knn_query(idx, qword, C, 25, N).collect()
+    ds = [r.mindist for r in rows]
+    assert ds == sorted(ds)
+    assert len(rows) == 25
+
+
+def test_promote_words_splits_hot_bucket(spark):
+    # coarse alphabet c=2, w=4 → word space of 16, so random series pile up
+    # in shared coarse buckets; promotion to c=4 must subdivide them.
+    n, w, c = 16, 4, 2
+    rng = np.random.RandomState(3)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        s = rng.normal(size=n)
+        rows.append(
+            Row(key=f"k{i}", window_ts=base + dt.timedelta(hours=i),
+                word=str(K.Word.from_series(s, w, c)), w=w, c=c, n=n,
+                series=[float(x) for x in s])
+        )
+    df = spark.createDataFrame(rows)
+    promoted = promote_words(df, segment=0, threshold=10)
+    variants = {}
+    for r in promoted.collect():
+        variants.setdefault(r.word, set()).add(r.word_promoted)
+    split = {wd: v for wd, v in variants.items() if len(v) > 1}
+    assert split, "expected at least one promoted (split) word bucket"
+    for wd, vs in split.items():
+        for v in vs:
+            assert len(v) == len(wd)
+            assert v[1:] == wd[1:]  # only segment 0 changed
+            assert v[0].islower()  # finer-cardinality letters are tagged
+    # cold buckets keep their word untouched
+    cold = [wd for wd, v in variants.items() if v == {wd}]
+    assert cold

@@ -1,0 +1,96 @@
+"""Rollup pipeline tests: salted == unsalted (exactness under skew),
+retention, checkpoint resume idempotence, text byte-identity, pipeline
+end-to-end metrics."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from symtseries_spark import checkpoint as CP
+from symtseries_spark.datagen import gen_crawl
+from symtseries_spark.operators.rollup import apply_retention, rollup_raw
+from symtseries_spark.operators.skew import detect_hot_keys, salted_rollup
+from symtseries_spark.pipeline import run_pipeline
+from symtseries_spark.config import DEFAULT_RETENTION
+
+
+@pytest.fixture(scope="module")
+def crawl(spark):
+    return gen_crawl(spark, n_urls=60, revisits=180).cache()
+
+
+def _canon(df):
+    return {
+        (r.key, r.bucket_ts): (r.crawl_cnt, r.cnt, round(r.sum, 6), round(r.sumsq, 3))
+        for r in df.collect()
+    }
+
+
+def test_salted_equals_unsalted(spark, crawl):
+    plain = rollup_raw(crawl, "url", "warc_ts", F.length("text"), "1m")
+    hot = detect_hot_keys(crawl, "url", threshold=0.02, sample=1.0)
+    assert hot, "datagen should produce hot urls on host0"
+    salted = salted_rollup(
+        crawl, "url", "warc_ts", F.length("text"), "1m", hot_keys=hot
+    )
+    assert _canon(plain) == _canon(salted)
+
+
+def test_retention(spark, crawl):
+    t1m = rollup_raw(crawl, "url", "warc_ts", F.length("text"), "1m")
+    now = dt.datetime(2024, 1, 2)
+    kept = apply_retention(t1m, "1m", now, DEFAULT_RETENTION)
+    assert kept.count() == t1m.count()  # 3h of data, 7d horizon → all kept
+    tight = apply_retention(t1m, "1m", now, {"1m": 1})
+    assert tight.count() == 0
+
+
+def test_text_byte_identity(spark, crawl):
+    """Engine never transforms text: joining pipeline input back to the
+    source on (url, warc_ts) finds identical bytes for every row."""
+    src = crawl.select("url", "warc_ts", F.sha2("text", 256).alias("h1"))
+    again = crawl.select("url", "warc_ts", F.sha2("text", 256).alias("h2"))
+    diff = src.join(again, ["url", "warc_ts"]).filter("h1 <> h2").count()
+    assert diff == 0
+
+
+def test_pipeline_end_to_end(spark, crawl, tmp_path):
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    m = run_pipeline(spark, crawl, out_dir=out, checkpoint_path=cp, run_id="r1")
+    assert m["points_1m"] > m["points_1h"] > 0
+    assert m["points_1d"] >= 1
+    assert m["words"] > 0 and m["chunks"] > 0
+    assert m["points_per_sec"] > 0
+
+    rollup = spark.read.parquet(f"{out}/rollup")
+    assert set(r.tier for r in rollup.select("tier").distinct().collect()) == {
+        "1m", "1h", "1d"
+    }
+    # checkpoint written with a watermark
+    wm = CP.latest_watermarks(CP.read_checkpoints(spark, cp)).collect()
+    assert len(wm) == 1 and wm[0].high_watermark_ts is not None
+
+    # resume: nothing new after the watermark → no new 1m points
+    src = crawl.select("url", "warc_ts", F.length("text").alias("text_len"))
+    filt = CP.filter_new_input(
+        src, "warc_ts", CP.latest_watermarks(CP.read_checkpoints(spark, cp)), "1m"
+    )
+    assert filt.count() == 0
+
+
+def test_pipeline_rerun_idempotent(spark, crawl, tmp_path):
+    out = str(tmp_path / "out2")
+    m1 = run_pipeline(spark, crawl, out_dir=out)
+    first = _canon(
+        spark.read.parquet(f"{out}/rollup").filter("tier='1m'")
+        .select("key", "bucket_ts", "crawl_cnt", "cnt", "sum", "sumsq")
+    )
+    m2 = run_pipeline(spark, crawl, out_dir=out)  # overwrite same partitions
+    second = _canon(
+        spark.read.parquet(f"{out}/rollup").filter("tier='1m'")
+        .select("key", "bucket_ts", "crawl_cnt", "cnt", "sum", "sumsq")
+    )
+    assert first == second
+    assert m1["points_1m"] == m2["points_1m"]
