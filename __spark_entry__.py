@@ -1,38 +1,544 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship pipeline on sf0.001: events → rollup cascade →
+               iSAX words → mindist kNN.
+queries()    — one entry per implemented operator (SURVEY.md §2); each
+               callable takes (spark, sf_dir) and returns a DataFrame.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
+               Non-SQL-expressible ops (symbolization, mindist, LSH,
+               promotion) are registered without an oracle → rows-only.
+
+Column aliases match between Spark and SQL exactly; float aggregates are
+rounded on BOTH sides (6 dp for small-group sums/avgs, 2 dp for corpus-wide
+sums, 3 dp for derived stds) so cross-engine summation-order noise cannot
+flip the driver's value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from symtseries_spark.operators.rollup import (
+    apply_retention,
+    rollup_cascade,
+    rollup_raw,
+    with_stddev,
+)
+from symtseries_spark.operators.gapfill import gapfill
+from symtseries_spark.operators.skew import salted_rollup
+from symtseries_spark.operators.symbolize import symbolize_windows
+from symtseries_spark.operators.index import (
+    build_index,
+    knn_query,
+    promote_words,
+    range_query,
+)
+from symtseries_spark.operators.codecs import decode_chunks, encode_chunks
+from symtseries_spark.operators import dedup as D
+from symtseries_spark.operators import similarity as S
+from symtseries_spark.operators import text as T
+from symtseries_spark.operators import multimodal as M
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events_rollup(spark, sf_dir, tier):
+    ev = _events(spark, sf_dir)
+    r = rollup_raw(ev, "user_id", "ts", F.col("value"), "1m")
+    if tier == "1m":
+        return r
+    r = rollup_cascade(r, "1h")
+    if tier == "1h":
+        return r
+    return rollup_cascade(r, "1d")
+
+
+_ROLLUP_PROJ = lambda df: df.select(  # noqa: E731
+    "key",
+    "tier",
+    "bucket_ts",
+    "crawl_cnt",
+    "cnt",
+    F.round("sum", 6).alias("sum_v"),
+    F.round("sumsq", 6).alias("sumsq_v"),
+    F.round("text_len_avg", 6).alias("avg_v"),
+)
+
+
+def _rollup_oracle(unit: str, tier: str) -> str:
+    return f"""
+        SELECT user_id AS key, '{tier}' AS tier,
+               date_trunc('{unit}', ts)::TIMESTAMP AS bucket_ts,
+               count(*) AS crawl_cnt, count(value) AS cnt,
+               round(sum(value), 6) AS sum_v,
+               round(sum(value * value), 6) AS sumsq_v,
+               round(avg(value), 6) AS avg_v
+        FROM events GROUP BY 1, 2, 3
+    """
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _ROLLUP_PROJ(_events_rollup(spark, sf_dir, "1m"))
+
+
+def q_rollup_1h(spark, sf_dir):
+    return _ROLLUP_PROJ(_events_rollup(spark, sf_dir, "1h"))
+
+
+def q_rollup_1d(spark, sf_dir):
+    return _ROLLUP_PROJ(_events_rollup(spark, sf_dir, "1d"))
+
+
+def q_rollup_1m_salted(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    r = salted_rollup(ev, "user_id", "ts", F.col("value"), "1m",
+                      hot_keys=None, salt_buckets=8)
+    return _ROLLUP_PROJ(r)
+
+
+def q_rollup_1h_std(spark, sf_dir):
+    r = with_stddev(_events_rollup(spark, sf_dir, "1h"))
+    return r.select("key", "bucket_ts", "cnt", F.round("value_std", 3).alias("std_v"))
+
+
+def q_retention_1m(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1m")
+    kept = apply_retention(r, "1m", "2024-01-31 00:00:00", {"1m": 7 * 86400})
+    return _ROLLUP_PROJ(kept)
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1h")
+    g = gapfill(r, "1h", value_col="text_len_avg", methods=("locf",))
+    return g.select(
+        "key",
+        "bucket_ts",
+        F.round("value", 6).alias("value"),
+        "is_gap",
+        F.round("value_locf", 6).alias("value_locf"),
+    )
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    # pre-round the bucket value on BOTH sides (see oracle) so the linear
+    # interpolation arithmetic starts from identical doubles in each engine
+    r = _events_rollup(spark, sf_dir, "1h").withColumn(
+        "text_len_avg", F.round("text_len_avg", 6)
+    )
+    g = gapfill(r, "1h", value_col="text_len_avg", methods=("locf", "linear"))
+    # floor-based quantizer: identical double arithmetic in Spark and DuckDB
+    # (round() implementations disagree exactly at representation boundaries)
+    q6 = F.floor(F.col("value_linear") * 1e6 + 0.5) / 1e6
+    return g.select("key", "bucket_ts", q6.alias("value_linear"))
+
+
+def q_topk_active_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_v"))
+        .orderBy(F.col("n_events").desc(), F.col("key").asc())
+        .limit(20)
+    )
+
+
+def q_user_event_gaps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    per = ev.select(F.col("user_id").alias("key"), gap.alias("gap_us"))
+    return (
+        per.filter(F.col("gap_us").isNotNull())
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.floor(F.avg("gap_us") / 1e6 * 1e3 + 0.5) / 1e3).alias("avg_gap_s"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.exact_dedup(docs).select("doc_id")
+
+
+def q_doc_token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", T.token_count("text"))
+
+
+def q_doc_alpha_ratio(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    return docs.select("doc_id", F.round(alpha, 6).alias("alpha_ratio"))
+
+
+def q_lang_distribution(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def q_source_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 3).first().embedding
+    top = S.brute_force_topk(emb, q, 10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_gorilla_roundtrip_1h(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1h")
+    chunks = encode_chunks(r, "1h", "text_len_avg", chunk_points=256)
+    dec = decode_chunks(chunks)
+    return dec.select(
+        "key", "bucket_ts", F.round("value", 6).alias("avg_v")
+    )
+
+
+# ---- rows-only (no faithful SQL expression) -------------------------------
+
+
+def _daily_words(spark, sf_dir):
+    r = _events_rollup(spark, sf_dir, "1h")
+    return symbolize_windows(r, "1h", "1d", w=12, c=8, value_col="text_len_avg")
+
+
+def q_sax_words_daily(spark, sf_dir):
+    return _daily_words(spark, sf_dir).select("key", "window_ts", "word", "n", "w", "c")
+
+
+def q_mindist_topk_daily(spark, sf_dir):
+    idx = build_index(_daily_words(spark, sf_dir), "1d")
+    return knn_query(idx, "DDDDAAAADDDD", 8, k=20, n_query=24).select(
+        "key", "window_ts", "word", F.round("mindist", 6).alias("mindist")
+    )
+
+
+def q_isax_range_daily(spark, sf_dir):
+    idx = build_index(_daily_words(spark, sf_dir), "1d")
+    return range_query(idx, "DDDDAAAADDDD", 8, radius=3.0, n_query=24).select(
+        "key", "window_ts", "word", F.round("mindist", 6).alias("mindist")
+    )
+
+
+def q_promote_hot_words(spark, sf_dir):
+    words = _daily_words(spark, sf_dir)
+    return promote_words(words, segment=0, threshold=20).select(
+        "key", "window_ts", "word", "word_promoted"
+    )
+
+
+def q_minhash_dupes_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.minhash_lsh_dupes(docs, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+
+
+def q_simhash_dupes_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.simhash_dupes(docs, max_hamming=3)
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", T.fingerprint("text"))
+
+
+def q_doc_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", T.lang_id_udf()(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 3).first().embedding
+    return S.lsh_topk(emb, q, 10, bits=8).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 3).first().embedding
+    cents = S.train_centroids(emb, n_centroids=8, sample=1.0)
+    return S.ivf_topk(emb, q, 10, cents, nprobe=3).select(
+        "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    meta = M.with_media_metadata(docs)
+    return M.extract_features(meta).select("media_id", "mime", "feature")
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: rollup cascade → daily iSAX words → kNN."""
+    sf_dir = "/root/testdata/sf0.001"
+    return q_mindist_topk_daily(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "rollup_1m_salted": q_rollup_1m_salted,
+        "rollup_1h_std": q_rollup_1h_std,
+        "retention_1m": q_retention_1m,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
+        "topk_active_users": q_topk_active_users,
+        "user_event_gaps": q_user_event_gaps,
+        "tpch_q1": q_tpch_q1,
+        "nation_revenue": q_nation_revenue,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_alpha_ratio": q_doc_alpha_ratio,
+        "lang_distribution": q_lang_distribution,
+        "source_stats": q_source_stats,
+        "embedding_topk": q_embedding_topk,
+        "gorilla_roundtrip_1h": q_gorilla_roundtrip_1h,
+        # rows-only (no faithful DuckDB expression)
+        "sax_words_daily": q_sax_words_daily,
+        "mindist_topk_daily": q_mindist_topk_daily,
+        "isax_range_daily": q_isax_range_daily,
+        "promote_hot_words": q_promote_hot_words,
+        "minhash_dupes_docs": q_minhash_dupes_docs,
+        "simhash_dupes_docs": q_simhash_dupes_docs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    rollup_1m = _rollup_oracle("minute", "1m")
+    rollup_1h = _rollup_oracle("hour", "1h")
+    rollup_1d = _rollup_oracle("day", "1d")
+    gap_base = """
+        WITH b AS (
+          SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts,
+                 {vexpr} AS v
+          FROM events GROUP BY 1, 2
+        ), bounds AS (
+          SELECT key, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b GROUP BY 1
+        ), spine AS (
+          SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+          FROM bounds
+        ), j AS (
+          SELECT s.key, s.bucket_ts, b.v
+          FROM spine s LEFT JOIN b ON s.key = b.key AND s.bucket_ts = b.bucket_ts
+        )
     """
-    return {}
+    return {
+        "rollup_1m": rollup_1m,
+        "rollup_1h": rollup_1h,
+        "rollup_1d": rollup_1d,
+        "rollup_1m_salted": rollup_1m,
+        "rollup_1h_std": """
+            SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts,
+                   count(value) AS cnt,
+                   round(coalesce(stddev_pop(value), 0.0), 3) AS std_v
+            FROM events GROUP BY 1, 2
+        """,
+        "retention_1m": rollup_1m
+        + " HAVING date_trunc('minute', ts)::TIMESTAMP >= "
+        "TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 7 DAY",
+        "gapfill_locf_1h": gap_base.format(vexpr="avg(value)")
+        + """
+            SELECT key, bucket_ts, round(v, 6) AS value, v IS NULL AS is_gap,
+                   round(last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY bucket_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS value_locf
+            FROM j
+        """,
+        "gapfill_linear_1h": gap_base.format(vexpr="round(avg(value), 6)")
+        + """
+            , j2 AS (
+              SELECT key, bucket_ts, v, epoch(bucket_ts)::DOUBLE AS t,
+                     CASE WHEN v IS NOT NULL THEN epoch(bucket_ts)::DOUBLE END AS t_nn
+              FROM j
+            ), w AS (
+              SELECT key, bucket_ts, v, t,
+                     last_value(v IGNORE NULLS) OVER past AS pv,
+                     last_value(t_nn IGNORE NULLS) OVER past AS pt,
+                     first_value(v IGNORE NULLS) OVER fut AS nv,
+                     first_value(t_nn IGNORE NULLS) OVER fut AS nt
+              FROM j2
+              WINDOW past AS (PARTITION BY key ORDER BY bucket_ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     fut AS (PARTITION BY key ORDER BY bucket_ts
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT key, bucket_ts,
+                   floor((CASE WHEN v IS NOT NULL THEN v
+                               WHEN pv IS NULL THEN nv
+                               WHEN nv IS NULL THEN pv
+                               ELSE pv + (nv - pv) * ((t - pt) / (nt - pt))
+                          END) * 1e6 + 0.5) / 1e6 AS value_linear
+            FROM w
+        """,
+        "topk_active_users": """
+            SELECT user_id AS key, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_v
+            FROM events GROUP BY 1
+            ORDER BY n_events DESC, key ASC LIMIT 20
+        """,
+        "user_event_gaps": """
+            WITH g AS (
+              SELECT user_id AS key,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events
+            )
+            SELECT key, count(*) AS n_gaps,
+                   floor(avg(gap_us) / 1e6 * 1e3 + 0.5) / 1e3 AS avg_gap_s,
+                   max(gap_us) AS max_gap_us
+            FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_discount), 6) AS avg_disc
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "nation_revenue": """
+            SELECT n_name AS nation, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END::INT AS token_cnt
+            FROM documents
+        """,
+        "doc_alpha_ratio": """
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS alpha_ratio
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY 1
+        """,
+        "source_stats": """
+            SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars, round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY 1
+        """,
+        "embedding_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3)),
+                     6) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 3))
+                     DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "gorilla_roundtrip_1h": """
+            SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts,
+                   round(avg(value), 6) AS avg_v
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -298,18 +298,19 @@ def decode_values(data: bytes, n: int) -> np.ndarray:
 # Spark surface
 # ---------------------------------------------------------------------------
 
-CHUNK_SCHEMA = StructType(
-    [
-        StructField("key", StringType()),
-        StructField("tier", StringType()),
-        StructField("chunk_start_ts", TimestampType()),
-        StructField("n_points", IntegerType()),
-        StructField("ts_codec", StringType()),
-        StructField("val_codec", StringType()),
-        StructField("ts_payload", BinaryType()),
-        StructField("val_payload", BinaryType()),
-    ]
-)
+def chunk_schema(key_type) -> StructType:
+    return StructType(
+        [
+            StructField("key", key_type),
+            StructField("tier", StringType()),
+            StructField("chunk_start_ts", TimestampType()),
+            StructField("n_points", IntegerType()),
+            StructField("ts_codec", StringType()),
+            StructField("val_codec", StringType()),
+            StructField("ts_payload", BinaryType()),
+            StructField("val_payload", BinaryType()),
+        ]
+    )
 
 
 def encode_chunks(
@@ -353,22 +354,25 @@ def encode_chunks(
             }
         )
 
-    return df.groupBy("key", "chunk_id").applyInPandas(_encode, CHUNK_SCHEMA)
+    return df.groupBy("key", "chunk_id").applyInPandas(
+        _encode, chunk_schema(rollup.schema["key"].dataType)
+    )
 
 
-DECODED_SCHEMA = StructType(
-    [
-        StructField("key", StringType()),
-        StructField("tier", StringType()),
-        StructField("bucket_ts", TimestampType()),
-        StructField("value", DoubleType()),
-    ]
-)
+def decoded_schema(key_type) -> StructType:
+    return StructType(
+        [
+            StructField("key", key_type),
+            StructField("tier", StringType()),
+            StructField("bucket_ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:
     """Inverse of encode_chunks: blob rows → (key, tier, bucket_ts, value)."""
-    schema = DECODED_SCHEMA
+    schema = decoded_schema(chunks.schema["key"].dataType)
 
     def _decode(it):
         for pdf in it:
