@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The headline is the north-rule metric: rolled-up points/sec through the
+full crawl pipeline (1m→1h→1d tiers + iSAX words + Gorilla chunks) on a
+deterministic synthetic crawl table sized to the SF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from symtseries_spark.session import get_spark  # noqa: E402
+from symtseries_spark.datagen import gen_crawl  # noqa: E402
+from symtseries_spark.pipeline import run_pipeline  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_data")
+
+#: crawl-table size per SF: urls × 1440 one-minute revisits (one day)
+CRAWL_URLS = {"0.001": 60, "0.01": 400, "0.1": 2500}
+
+
+def _sf_of(path: str) -> str:
+    base = os.path.basename(path.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else "0.1"
+
+
+def _crawl_path(sf: str) -> str:
+    return os.path.join(BENCH_DATA, f"crawl_sf{sf}.parquet")
+
+
+def ensure_crawl(spark, sf: str) -> str:
+    path = _crawl_path(sf)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        n_urls = CRAWL_URLS.get(sf, 2500)
+        gen_crawl(spark, n_urls=n_urls, revisits=1440).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def bench_pipeline(spark, sf: str) -> tuple[float, dict]:
+    path = ensure_crawl(spark, sf)
+    out = os.path.join(BENCH_DATA, f"out_sf{sf}")
+    shutil.rmtree(out, ignore_errors=True)
+    crawl = spark.read.parquet(path)
+    t0 = time.time()
+    m = run_pipeline(spark, crawl, out_dir=out)
+    return time.time() - t0, m
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    spark = get_spark("symtseries-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    t, pm = bench_pipeline(spark, sf)
+    timings["rollup_pipeline"] = round(t, 3)
+
+    headline = [
+        "rollup_1m",
+        "rollup_1h",
+        "gapfill_locf_1h",
+        "sax_words_daily",
+        "mindist_topk_daily",
+        "gorilla_roundtrip_1h",
+        "minhash_dupes_docs",
+        "embedding_topk",
+        "dedup_exact_docs",
+    ]
+    qs = E.queries()
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    points = pm["points_1m"] + pm["points_1h"] + pm["points_1d"]
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "pipeline_points": points,
+        "pipeline_points_per_sec": round(points / timings["rollup_pipeline"], 1),
+        "pipeline_counts": {
+            k: pm[k] for k in ("points_1m", "points_1h", "points_1d", "words", "chunks")
+        },
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
