@@ -98,60 +98,58 @@ class _BitReader:
 _DOD_RANGES = ((-63, 64, 7), (-255, 256, 9), (-2047, 2048, 12))
 
 
-def encode_timestamps(ts: np.ndarray) -> bytes:
-    """ts: (N,) int64 (epoch µs or s). N ≥ 1."""
+def _codes_timestamps(ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized delta-of-delta code arrays: (bits, nbits).
+
+    Layout: [first ts 64b][first delta 64b][per-dod primary + optional 64b
+    secondary] — the secondary slot is used only by the '1111' escape, with
+    nbits 0 elsewhere (zero-length codes are skipped by the packer).
+    """
     ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
     head = ts[0:1].astype(np.uint64)
     if n == 1:
-        return _pack_codes(head, np.array([64]))
+        return head.copy(), np.array([64], dtype=np.int64)
     d = np.diff(ts)
-    first_delta = d[0:1].view(np.uint64)[0]
+    first_delta = d[0:1].view(np.uint64)
     dod = np.diff(d)
 
     m = len(dod)
-    bits = np.zeros(m, dtype=np.uint64)
-    nbits = np.zeros(m, dtype=np.int64)
+    prim_bits = np.zeros(m, dtype=np.uint64)
+    prim_nbits = np.zeros(m, dtype=np.int64)
+    sec_bits = np.zeros(m, dtype=np.uint64)
+    sec_nbits = np.zeros(m, dtype=np.int64)
     done = dod == 0
-    bits[done] = 0
-    nbits[done] = 1
+    prim_nbits[done] = 1
     for lo, hi, w in _DOD_RANGES:
         sel = (~done) & (dod >= lo) & (dod <= hi)
-        # prefix '1'*k + '0', then offset-coded payload (dod - lo)
         prefix_len = {7: 2, 9: 3, 12: 4}[w]
         prefix = {7: 0b10, 9: 0b110, 12: 0b1110}[w]
         payload = (dod[sel] - lo).astype(np.uint64)
-        bits[sel] = (np.uint64(prefix) << np.uint64(w)) | payload
-        nbits[sel] = prefix_len + w
+        prim_bits[sel] = (np.uint64(prefix) << np.uint64(w)) | payload
+        prim_nbits[sel] = prefix_len + w
         done |= sel
     rest = ~done
     if rest.any():
-        payload = dod[rest].astype(np.int64).view(np.uint64) & np.uint64(
-            0xFFFFFFFFFFFFFFFF
-        )
-        # '1111' prefix + 64 raw bits needs 68 bits: split into two codes
-        # by emitting prefix and payload as separate entries.
-        cursor = 0
-        merged_bits, merged_nbits = [], []
-        for i in range(m):
-            if rest[i]:
-                merged_bits.extend([np.uint64(0b1111), payload[cursor]])
-                merged_nbits.extend([4, 64])
-                cursor += 1
-            else:
-                merged_bits.append(bits[i])
-                merged_nbits.append(int(nbits[i]))
-        all_bits = np.concatenate(
-            [head, np.array([first_delta], dtype=np.uint64),
-             np.array(merged_bits, dtype=np.uint64)]
-        )
-        all_nbits = np.concatenate(
-            [[64, 64], np.array(merged_nbits, dtype=np.int64)]
-        )
-        return _pack_codes(all_bits, all_nbits)
-    all_bits = np.concatenate([head, np.array([first_delta], dtype=np.uint64), bits])
-    all_nbits = np.concatenate([[64, 64], nbits])
-    return _pack_codes(all_bits, all_nbits)
+        prim_bits[rest] = np.uint64(0b1111)
+        prim_nbits[rest] = 4
+        sec_bits[rest] = dod[rest].view(np.uint64)
+        sec_nbits[rest] = 64
+
+    bits = np.empty(2 + 2 * m, dtype=np.uint64)
+    nbits = np.empty(2 + 2 * m, dtype=np.int64)
+    bits[0], bits[1] = head[0], first_delta[0]
+    nbits[0] = nbits[1] = 64
+    bits[2::2] = prim_bits
+    nbits[2::2] = prim_nbits
+    bits[3::2] = sec_bits
+    nbits[3::2] = sec_nbits
+    return bits, nbits
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """ts: (N,) int64 (epoch µs or s). N ≥ 1."""
+    return _pack_codes(*_codes_timestamps(ts))
 
 
 def decode_timestamps(data: bytes, n: int) -> np.ndarray:
@@ -210,8 +208,85 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _codes_values_vec(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Gorilla XOR code arrays (no '10' carry path): (bits, nbits)."""
+    u = np.ascontiguousarray(np.asarray(vals, dtype=np.float64)).view(np.uint64)
+    n = len(u)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    if n == 1:
+        return u[:1].copy(), np.array([64], dtype=np.int64)
+    xor = u[1:] ^ u[:-1]
+    m = len(xor)
+    lz = np.minimum(_clz64(xor), 31)
+    tz = np.minimum(_ctz64(xor), 63)
+    mlen = np.maximum(64 - lz - tz, 1)
+    zero = xor == 0
+
+    header = (np.uint64(0b11) << np.uint64(11)) | (
+        lz.astype(np.uint64) << np.uint64(6)
+    ) | (mlen - 1).astype(np.uint64)
+    payload = xor >> tz.astype(np.uint64)
+
+    bits = np.empty(2 * m + 1, dtype=np.uint64)
+    nbits = np.empty(2 * m + 1, dtype=np.int64)
+    bits[0] = u[0]
+    nbits[0] = 64
+    bits[1::2] = np.where(zero, np.uint64(0), header)
+    nbits[1::2] = np.where(zero, 1, 13)
+    bits[2::2] = np.where(zero, np.uint64(0), payload)
+    nbits[2::2] = np.where(zero, 0, mlen)
+    return bits, nbits
+
+
+def encode_values_vec(vals: np.ndarray) -> bytes:
+    """Fully-vectorized Gorilla XOR encoder (no '10' carry path).
+
+    Emits '0' for xor==0 and '11'+5b lz+6b(mlen-1)+mlen bits otherwise —
+    a valid stream for decode_values (which supports both control paths).
+    Trades ~11 bits/point on window-stable series for the removal of the
+    sequential window-carry dependency: every code is computed with numpy
+    array ops, no per-point Python. This is the hot-path encoder used by
+    encode_chunks.
+    """
+    if len(np.asarray(vals)) == 0:
+        return b""
+    return _pack_codes(*_codes_values_vec(vals))
+
+
+def _pack_groups(code_pairs: list[tuple[np.ndarray, np.ndarray]]):
+    """Pack MANY groups' code arrays in ONE _pack_codes call.
+
+    Each group's stream is padded to a byte boundary with a 0-filled pad
+    code so the packed buffer slices cleanly per group (the decoder reads
+    exactly n points and ignores trailing pad bits). Returns a list of
+    bytes objects, one per group. This turns ~G·77 tiny numpy calls into
+    77 big ones — the difference between the encode stage scaling and not.
+    """
+    bits_parts, nbits_parts, byte_lens = [], [], []
+    for bits, nbits in code_pairs:
+        total = int(nbits.sum())
+        pad = (-total) % 8
+        if pad:
+            bits = np.append(bits, np.uint64(0))
+            nbits = np.append(nbits, pad)
+        bits_parts.append(bits)
+        nbits_parts.append(nbits)
+        byte_lens.append((total + pad) // 8)
+    packed = _pack_codes(
+        np.concatenate(bits_parts), np.concatenate(nbits_parts)
+    )
+    out, off = [], 0
+    for blen in byte_lens:
+        out.append(packed[off : off + blen])
+        off += blen
+    return out
+
+
 def encode_values(vals: np.ndarray) -> bytes:
-    """vals: (N,) float64 → Gorilla XOR bit stream."""
+    """vals: (N,) float64 → Gorilla XOR bit stream (paper-faithful variant
+    with the '10' previous-window carry path; sequential control flow, used
+    for format tests and single-series encoding)."""
     u = np.ascontiguousarray(np.asarray(vals, dtype=np.float64)).view(np.uint64)
     n = len(u)
     if n == 0:
@@ -321,9 +396,13 @@ def encode_chunks(
 ) -> DataFrame:
     """Pack each (key, tier, chunk) run of rollup points into one blob row.
 
-    Chunk assignment is a pure column expression (bucket index / points per
-    chunk) so the grouped-map shuffle is the only data movement. Within a
-    group the encoder is the vectorized numpy packer above.
+    Execution shape (scale-critical): one hash repartition on key + an
+    in-partition sort, then ONE mapInPandas pass per partition — Spark never
+    dispatches per group (a (key, chunk) group is ~10²-10³ rows; per-group
+    applyInPandas dispatch costs more than the encoding). Inside the pass,
+    group boundaries come from a factorize over the sorted (key, chunk_id)
+    columns and each group's codes are emitted by the fully-vectorized
+    packers above.
     """
     from symtseries_spark.config import TIERS
 
@@ -336,27 +415,68 @@ def encode_chunks(
         .cast("long")
         .alias("chunk_id"),
     )
+    df = df.repartition("key").sortWithinPartitions("key", "chunk_id", "bucket_ts")
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_ts")
-        ts = pdf["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        vals = pdf["v"].to_numpy(dtype=np.float64)
-        return pd.DataFrame(
-            {
-                "key": [pdf["key"].iloc[0]],
-                "tier": [tier],
-                "chunk_start_ts": [pdf["bucket_ts"].iloc[0]],
-                "n_points": [len(ts)],
-                "ts_codec": ["dod"],
-                "val_codec": ["gorilla"],
-                "ts_payload": [encode_timestamps(ts)],
-                "val_payload": [encode_values(vals)],
-            }
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = chunk_schema(rollup.schema["key"].dataType)
+    key_is_string = out_schema["key"].dataType.simpleString() == "string"
+    pa_key = pa.string() if key_is_string else pa.int64()
+    pa_out = pa.schema(
+        [
+            ("key", pa_key),
+            ("tier", pa.string()),
+            ("chunk_start_ts", pa.timestamp("us")),
+            ("n_points", pa.int32()),
+            ("ts_codec", pa.string()),
+            ("val_codec", pa.string()),
+            ("ts_payload", pa.binary()),
+            ("val_payload", pa.binary()),
+        ]
+    )
+
+    def _encode_partition(batches):
+        # mapInArrow: numeric columns come out of Arrow zero-copy as numpy;
+        # key strings never become Python objects (boundary detection runs
+        # in Arrow C++). This is what keeps the JVM→Python hop cheap at
+        # tens of millions of rows per stage.
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.combine_chunks()
+        ts_arr = tbl["bucket_ts"].to_numpy()  # datetime64[us]
+        ts_all = ts_arr.astype("datetime64[us]").astype(np.int64)
+        v_all = tbl["v"].to_numpy().astype(np.float64, copy=False)
+        chunks = tbl["chunk_id"].to_numpy()
+        key_col = tbl["key"].combine_chunks()
+        n_rows = tbl.num_rows
+        key_neq = pc.invert(
+            pc.equal(key_col.slice(1), key_col.slice(0, n_rows - 1))
+        ).to_numpy(zero_copy_only=False)
+        change = np.empty(n_rows, dtype=bool)
+        change[0] = True
+        change[1:] = key_neq | (chunks[1:] != chunks[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n_rows)
+        ts_codes = [_codes_timestamps(ts_all[s:e]) for s, e in zip(starts, ends)]
+        val_codes = [_codes_values_vec(v_all[s:e]) for s, e in zip(starts, ends)]
+        g = len(starts)
+        yield pa.RecordBatch.from_arrays(
+            [
+                key_col.take(pa.array(starts)),
+                pa.array([tier] * g, pa.string()),
+                pa.array(ts_all[starts], pa.timestamp("us")),
+                pa.array((ends - starts).astype(np.int32), pa.int32()),
+                pa.array(["dod"] * g, pa.string()),
+                pa.array(["gorilla"] * g, pa.string()),
+                pa.array(_pack_groups(ts_codes), pa.binary()),
+                pa.array(_pack_groups(val_codes), pa.binary()),
+            ],
+            schema=pa_out,
         )
 
-    return df.groupBy("key", "chunk_id").applyInPandas(
-        _encode, chunk_schema(rollup.schema["key"].dataType)
-    )
+    return df.mapInArrow(_encode_partition, out_schema)
 
 
 def decoded_schema(key_type) -> StructType:

@@ -7,14 +7,22 @@ levels. Stage layout (one shuffle each, all else map-side):
 
   raw scan (column-pruned: url, warc_ts, text-length only)
     → salted 1m rollup  (shuffle on (url, bucket, salt))
-    → 1h cascade        (shuffle on (url, hour) — 1/60 the rows)
-    → 1d cascade        (shuffle on (url, day)  — 1/24 of that)
-    → window assembly + symbolization (reuses the 1m partitioning)
-    → index + compressed chunks (map-side from cached tier frames)
+    → WRITE 1m tier, read back             ← stage chaining goes through
+    → 1h cascade (shuffle, 1/60 the rows)    the written tier table, not
+    → 1d cascade                             .persist(): the columnar cache
+    → window assembly + symbolization        build costs more than a parquet
+    → index + compressed chunks              write and is exactly what a
+                                             cluster job does between stages
+                                             (each tier is a real table).
+
+Counting output points reads parquet footers (metadata-only), so the
+metric includes the sink write but not redundant rescans.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,12 +46,15 @@ def run_pipeline(
     checkpoint_path: str | None = None,
     run_id: str | None = None,
 ) -> dict:
-    """Run the full pipeline; persist outputs when out_dir is given.
-
-    Returns metrics: rolled-up points per tier, words indexed, chunks
-    written, wall seconds, points/sec.
+    """Run the full pipeline, persisting every stage output under out_dir
+    (a TemporaryDirectory when not given). Returns metrics: rolled-up
+    points per tier, words indexed, chunks written, wall sec, points/sec.
     """
     cfg = cfg or EngineConfig()
+    tmp = None
+    if out_dir is None:
+        tmp = tempfile.mkdtemp(prefix="symtseries_pipeline_")
+        out_dir = tmp
     t0 = time.time()
 
     # column pruning happens here: only url, warc_ts, length(text) survive
@@ -54,6 +65,7 @@ def run_pipeline(
         wm = CP.latest_watermarks(CP.read_checkpoints(spark, checkpoint_path))
         src = CP.filter_new_input(src, "warc_ts", wm, "1m")
 
+    rollup_path = f"{out_dir}/rollup"
     t1m = salted_rollup(
         src,
         "url",
@@ -63,43 +75,43 @@ def run_pipeline(
         hot_keys=hot_keys,
         salt_buckets=cfg.salt_buckets,
     )
-    t1m = t1m.persist()
-    t1h = rollup_cascade(t1m, "1h").persist()
-    t1d = rollup_cascade(t1h, "1d")
+    CP.write_partitioned(t1m, rollup_path, "1m")
+    t1m_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1m")
 
-    sym = symbolize_windows(t1m, "1m", "1h", w=cfg.sax.w, c=cfg.sax.c)
+    t1h = rollup_cascade(t1m_r, "1h")
+    CP.write_partitioned(t1h, rollup_path, "1h")
+    t1h_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1h")
+
+    t1d = rollup_cascade(t1h_r, "1d")
+    CP.write_partitioned(t1d, rollup_path, "1d")
+
+    sym = symbolize_windows(t1m_r, "1m", "1h", w=cfg.sax.w, c=cfg.sax.c)
     index = build_index(sym, tier="1h")
-    chunks = encode_chunks(t1m, "1m", "text_len_avg", cfg.chunk_points)
+    index.write.mode("overwrite").parquet(f"{out_dir}/index")
 
-    metrics = {}
-    if out_dir:
-        CP.write_partitioned(t1m, f"{out_dir}/rollup", "1m")
-        CP.write_partitioned(t1h, f"{out_dir}/rollup", "1h")
-        CP.write_partitioned(t1d, f"{out_dir}/rollup", "1d")
-        index.write.mode("overwrite").parquet(f"{out_dir}/index")
-        chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
-        n1m = spark.read.parquet(f"{out_dir}/rollup").filter("tier='1m'").count()
-        n1h = spark.read.parquet(f"{out_dir}/rollup").filter("tier='1h'").count()
-        n1d = spark.read.parquet(f"{out_dir}/rollup").filter("tier='1d'").count()
-        nwords = spark.read.parquet(f"{out_dir}/index").count()
-        nchunks = spark.read.parquet(f"{out_dir}/chunks").count()
-    else:
-        n1m, n1h, n1d = t1m.count(), t1h.count(), t1d.count()
-        nwords = index.count()
-        nchunks = chunks.count()
+    chunks = encode_chunks(t1m_r, "1m", "text_len_avg", cfg.chunk_points)
+    chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+
+    # counts read parquet footers — metadata-only jobs
+    rollup_all = spark.read.parquet(rollup_path)
+    n1m = rollup_all.filter("tier='1m'").count()
+    n1h = rollup_all.filter("tier='1h'").count()
+    n1d = rollup_all.filter("tier='1d'").count()
+    nwords = spark.read.parquet(f"{out_dir}/index").count()
+    nchunks = spark.read.parquet(f"{out_dir}/chunks").count()
 
     if checkpoint_path:
-        hw = t1m.agg(F.max("bucket_ts")).first()[0]
-        rows_in = n1m  # proxy; raw row count would force a second scan
+        hw = t1m_r.agg(F.max("bucket_ts")).first()[0]
         CP.append_checkpoint(
-            spark, checkpoint_path, "1m", hw, rows_in, n1m, run_id=run_id
+            spark, checkpoint_path, "1m", hw, n1m, n1m, run_id=run_id
         )
 
-    t1m.unpersist()
-    t1h.unpersist()
+    if tmp:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     wall = time.time() - t0
     points = n1m + n1h + n1d
-    metrics.update(
+    return dict(
         points_1m=n1m,
         points_1h=n1h,
         points_1d=n1d,
@@ -108,4 +120,3 @@ def run_pipeline(
         wall_sec=wall,
         points_per_sec=points / wall if wall else 0.0,
     )
-    return metrics

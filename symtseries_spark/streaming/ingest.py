@@ -1,0 +1,164 @@
+"""Structured Streaming ingest: the distributed analogue of the reference's
+streaming window (`sts_window` + `sts_append_value`,
+/root/reference/src/symtseries.c:481-492 — append a value, recompute the
+word over the ring buffer).
+
+Two operators:
+
+  * streaming_rollup — watermarked tumbling-window continuous aggregate:
+    readStream → withWatermark → groupBy(key, window) → partial triple.
+    This is the engine's real ingest path (append mode, late data dropped
+    past the watermark, state bounded by watermark horizon).
+
+  * stateful_words — applyInPandasWithState per-key ring buffer keeping the
+    last n values; every micro-batch appends that batch's values (event-time
+    ordered) and emits the current SAX word, exactly like window:add() →
+    tostring() in the reference's Lua surface. State is a fixed-length
+    double array per key → O(keys · n) state, independent of stream length.
+
+Both operators take/return unbound DataFrames so callers choose source and
+sink; tests drive them with a file source + memory sink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from symtseries_spark import kernel as K
+from symtseries_spark.config import TIER_INTERVAL
+from symtseries_spark.operators.symbolize import _strings_from_symbols
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_expr,
+    tier: str = "1m",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup with the re-aggregable partial
+    triple — the streaming twin of operators.rollup.rollup_raw."""
+    v = value_expr.cast("double")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.window(F.col(ts_col), TIER_INTERVAL[tier]).alias("wnd"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("crawl_cnt"),
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sumsq"),
+        )
+        .select(
+            "key",
+            F.lit(tier).alias("tier"),
+            F.col("wnd.start").alias("bucket_ts"),
+            "crawl_cnt",
+            "cnt",
+            "sum",
+            "sumsq",
+            (F.col("sum") / F.col("cnt")).alias("value_avg"),
+        )
+    )
+
+
+_WORD_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("word", StringType()),
+    ]
+)
+
+_WORD_STATE = StructType(
+    [
+        StructField("ring", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def stateful_words(
+    stream: DataFrame,
+    n: int,
+    w: int,
+    c: int,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key sliding-window SAX word maintained as streaming state.
+
+    Mirrors reference semantics: a fresh window is all-NaN (word all '#'),
+    appends evict the oldest value, the word is recomputed over the ring
+    after each batch (we recompute once per micro-batch instead of once per
+    value — same final word, reference law window == batch, see
+    tests/test_kernel.py::test_window_equals_batch_law).
+    """
+    K.validate_nwc(n, w, c)
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ring_list, n_seen, last_us = state.get
+            ring = np.asarray(ring_list, dtype=np.float64)
+        else:
+            ring = np.full(n, np.nan)
+            n_seen = 0
+            last_us = 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            vals = pdf[value_col].to_numpy(dtype=np.float64)
+            n_seen += len(vals)
+            if len(vals):
+                last_us = int(
+                    pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)[-1]
+                )
+            if len(vals) >= n:
+                ring = vals[-n:]
+            elif len(vals):
+                ring = np.concatenate([ring[len(vals):], vals])
+        state.update((ring.tolist(), int(n_seen), int(last_us)))
+        syms = K.symbolize(ring, w, c)
+        word = _strings_from_symbols(syms[None, :], c)[0]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n_seen],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "word": [word],
+            }
+        )
+
+    return (
+        stream.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).alias(ts_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_WORD_OUTPUT,
+            stateStructType=_WORD_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -93,3 +93,21 @@ def test_spark_chunk_round_trip(spark):
     raw = 16 * len(rows)
     packed = sum(len(r.ts_payload) + len(r.val_payload) for r in cl)
     assert packed < raw
+
+
+def test_values_vec_round_trip_property():
+    rng = np.random.RandomState(9)
+    cases = [
+        rng.normal(size=1000),
+        np.repeat(3.14159, 500),
+        np.round(rng.normal(size=300), 1),
+        np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1e-308, 1e308, 2.0]),
+        rng.normal(size=1) * 100,
+        np.arange(100, dtype=np.float64),
+    ]
+    for vals in cases:
+        enc = C.encode_values_vec(vals)
+        dec = C.decode_values(enc, len(vals))
+        assert np.array_equal(
+            dec.view(np.uint64), np.ascontiguousarray(vals).view(np.uint64)
+        )

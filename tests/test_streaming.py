@@ -1,0 +1,129 @@
+"""Structured Streaming tests: watermarked rollup and per-key stateful SAX
+words, driven by a file source in micro-batches."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from symtseries_spark import kernel as K
+from symtseries_spark.streaming.ingest import stateful_words, streaming_rollup
+
+
+def _write_batches(spark, path, batches):
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+
+def test_streaming_rollup_file_source(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(key="a", ts=base + dt.timedelta(seconds=30 * i), value=float(i))
+        for i in range(8)
+    ]
+    _write_batches(spark, src, [rows])
+
+    stream = spark.readStream.schema(
+        "key string, ts timestamp, value double"
+    ).parquet(src)
+    agg = streaming_rollup(stream, "key", "ts", F.col("value"), "1m")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_sink")
+        .outputMode("append")  # only watermark-closed windows emit
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits nothing until the watermark passes — drive a second
+    # batch far in the future to close the first windows
+    late = [Row(key="a", ts=base + dt.timedelta(hours=2), value=0.0)]
+    _write_batches(spark, src, [late])
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_sink2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r.key, r.bucket_ts): (r.crawl_cnt, r.sum)
+        for r in spark.sql("select * from rollup_sink2").collect()
+    }
+    # minutes 0..3 hold values (0,1), (2,3), (4,5), (6,7)
+    assert got[("a", base)] == (2, 1.0)
+    assert got[("a", base + dt.timedelta(minutes=1))] == (2, 5.0)
+    assert got[("a", base + dt.timedelta(minutes=3))] == (2, 13.0)
+
+
+def test_stateful_words_matches_batch_law(spark, tmp_path):
+    """Streaming per-key ring words == batch symbolization of the trailing n
+    values (the reference's window==batch equivalence law), across multiple
+    micro-batches."""
+    src = str(tmp_path / "word_src")
+    n, w, c = 8, 4, 4
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.RandomState(2)
+    all_vals = {"a": [], "b": []}
+
+    batches = []
+    for b in range(3):
+        rows = []
+        for key in ("a", "b"):
+            for j in range(3):  # 3 values per key per batch
+                v = float(np.round(rng.normal(), 3))
+                all_vals[key].append(v)
+                rows.append(
+                    Row(
+                        key=key,
+                        ts=base + dt.timedelta(minutes=b * 10 + j),
+                        value=v,
+                    )
+                )
+        batches.append(rows)
+
+    _write_batches(spark, src, batches[:1])
+    stream = spark.readStream.schema(
+        "key string, ts timestamp, value double"
+    ).parquet(src)
+    words = stateful_words(stream, n, w, c)
+    q = (
+        words.writeStream.format("memory")
+        .queryName("words_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _write_batches(spark, src, batches[1:])
+    q2 = (
+        words.writeStream.format("memory")
+        .queryName("words_sink_final")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    final = {
+        r.key: r
+        for r in spark.sql(
+            "select * from words_sink_final"
+        ).collect()
+    }
+    for key in ("a", "b"):
+        vals = all_vals[key]
+        # trailing-n with NaN left-padding (ring started all-NaN)
+        tail = np.full(n, np.nan)
+        take = vals[-n:]
+        tail[n - len(take):] = take
+        expect = K.symbols_to_string(K.symbolize(tail, w, c), c)
+        assert final[key].word == expect
+        assert final[key].n_seen == 9
