@@ -342,6 +342,20 @@ def q_embedding_ivf_topk(spark, sf_dir):
     )
 
 
+def q_exact_knn_daily(spark, sf_dir):
+    """Guaranteed-exact kNN via the mindist bound-refine loop (rows-only:
+    z-normalized Euclidean over assembled series has no faithful SQL)."""
+    import numpy as np
+
+    from symtseries_spark.operators.index import exact_knn
+
+    words = _daily_words(spark, sf_dir)
+    qs = np.sin(np.linspace(0, 6.28, 24)) * 50 + 100
+    return exact_knn(words, qs, w=12, c=8, k=10).select(
+        "key", "window_ts", F.round("euclid", 6).alias("euclid")
+    )
+
+
 def q_media_features(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
@@ -395,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "exact_knn_daily": q_exact_knn_daily,
         "media_features": q_media_features,
     }
 

@@ -24,7 +24,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DATA = os.path.join(REPO, ".bench_data", "scaling_crawl.parquet")
+DATA = os.path.join(REPO, ".bench_data", "scaling_crawl.parquet")  # set in main()
 
 _CHILD = r"""
 import json, os, sys, time
@@ -37,16 +37,18 @@ spark = get_spark("scaling-bench", master="local[{{}}]".format(cpus),
                   shuffle_partitions=max(cpus * 2, 16))
 spark.sparkContext.setLogLevel("ERROR")
 crawl = spark.read.parquet({data!r})
-# Warm-up: page cache / JIT / and crucially the Python UDF workers (one per
-# core; each pays a numpy+pandas import on first use — amortized to zero on
-# a real long-running cluster job, so excluded from the throughput window).
-crawl.limit(1000).count()
+# Warm-up: run the full pipeline once on a small input slice. This compiles
+# every whole-stage-codegen method, JITs the hot JVM paths, and spawns the
+# per-core Python UDF workers (numpy+pandas imports). All of that is
+# once-per-JVM cost that a real long-running cluster job amortizes to zero,
+# so it is excluded from the measured throughput window.
 import pandas as _pd
 def _warm(batches):
     import numpy as _np  # noqa: F401
     for p in batches:
         yield _pd.DataFrame({{"n": [len(p)]}})
 spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(_warm, "n long").count()
+run_pipeline(spark, crawl.limit(200_000), out_dir=None)
 t0 = time.time()
 m = run_pipeline(spark, crawl, out_dir=None)
 wall = time.time() - t0
@@ -108,8 +110,12 @@ def measure_cpu_ceiling(n_low: int, n_high: int) -> dict:
 
 
 def main() -> None:
+    global DATA
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
     revisits = int(sys.argv[2]) if len(sys.argv) > 2 else 2880
+    DATA = os.path.join(
+        REPO, ".bench_data", f"scaling_crawl_{n_urls}x{revisits}.parquet"
+    )
     n_low = int(os.environ.get("SCALING_N", "2"))
     n_high = 4 * n_low
     print(f"generating scaling input ({n_urls} urls x {revisits} revisits)...")

@@ -283,3 +283,61 @@ def test_mindist_lower_bound_property():
 
 def test_version():
     assert K.__version__ == "0.5.0"
+
+
+def test_error_battery():
+    """Python re-expression of the reference's 39-case invalid-input battery
+    (/root/reference/lua/test.lua:67-106). Lua arity/type errors map to
+    Python TypeError/ValueError; bounds errors to ValueError."""
+    data = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+
+    # window/config construction errors (sax.window.new battery)
+    for n, w, c in [
+        (1, 3, 3), (9, 1, 3), (9, 3, 1), (9, 3, 17), (5000, 5, 5), (10, 3, 3),
+    ]:
+        with pytest.raises(ValueError):
+            K.validate_nwc(n, w, c)
+    for bad in [(None, 2, 2), (2, None, 2), (2, 2, None), ("2", 2, 2)]:
+        with pytest.raises((ValueError, TypeError)):
+            K.validate_nwc(*bad)
+
+    # word constructor errors (sax.word.new battery)
+    with pytest.raises(ValueError):
+        K.Word.from_string("AAABF", 5)  # 'F' out of range for c=5
+    with pytest.raises(ValueError):
+        K.Word.from_string("aaabc", 5)  # lowercase
+    with pytest.raises(ValueError):
+        K.Word.from_string("", 5)  # empty
+    with pytest.raises(ValueError):
+        K.Word.from_string("AABBC", 1)  # cardinality too small
+    with pytest.raises(ValueError):
+        K.Word.from_string("AABBC", 17)  # cardinality too big
+    with pytest.raises((ValueError, TypeError)):
+        K.Word.from_string(None, 5)
+    with pytest.raises(ValueError):
+        K.Word.from_series([], 1, 5)  # empty series / bad w
+    with pytest.raises(ValueError):
+        K.Word.from_series([1, 2, 3], 1, 5)  # w out of bounds
+    with pytest.raises(ValueError):
+        K.Word.from_series(data, 3, 1)
+    with pytest.raises(ValueError):
+        K.Word.from_series(data, 3, 17)
+    with pytest.raises(ValueError):
+        K.Word.from_series(data, 4, 5)  # w does not divide n
+
+    # mindist on non-words: type errors
+    with pytest.raises(AttributeError):
+        K.mindist(1, 1)  # type: ignore[arg-type]
+
+    # add() of non-numeric content
+    with pytest.raises((ValueError, TypeError)):
+        K.symbolize(np.array(["a", "b"], dtype=object), 2, 4)
+
+
+def test_empty_append_is_noop_law():
+    # lua/test.lua:55-59: add({}) leaves the word unchanged — in batch terms
+    # symbolizing the same trailing window twice gives the same word
+    base = [1.0, 2.0, 3.0, 4.0]
+    w1 = K.Word.from_series(base, 2, 4)
+    w2 = K.Word.from_series(list(base), 2, 4)
+    assert w1 == w2
