@@ -78,19 +78,36 @@ def run_pipeline(
     CP.write_partitioned(t1m, rollup_path, "1m")
     t1m_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1m")
 
-    t1h = rollup_cascade(t1m_r, "1h")
-    CP.write_partitioned(t1h, rollup_path, "1h")
-    t1h_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1h")
+    # The cascade chain, symbolization, and chunk encoding are independent
+    # consumers of the written 1m tier — submit them as CONCURRENT Spark
+    # jobs (threads share the SparkSession; the scheduler interleaves their
+    # stages). This overlaps each job's serial phases (planning, commit)
+    # with the others' compute, exactly like a multi-tenant cluster keeps
+    # executors busy across jobs.
+    def _cascades():
+        t1h = rollup_cascade(t1m_r, "1h")
+        CP.write_partitioned(t1h, rollup_path, "1h")
+        t1h_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1h")
+        t1d = rollup_cascade(t1h_r, "1d")
+        CP.write_partitioned(t1d, rollup_path, "1d")
 
-    t1d = rollup_cascade(t1h_r, "1d")
-    CP.write_partitioned(t1d, rollup_path, "1d")
+    def _index():
+        sym = symbolize_windows(t1m_r, "1m", "1h", w=cfg.sax.w, c=cfg.sax.c)
+        build_index(sym, tier="1h").write.mode("overwrite").parquet(
+            f"{out_dir}/index"
+        )
 
-    sym = symbolize_windows(t1m_r, "1m", "1h", w=cfg.sax.w, c=cfg.sax.c)
-    index = build_index(sym, tier="1h")
-    index.write.mode("overwrite").parquet(f"{out_dir}/index")
+    def _chunks():
+        encode_chunks(t1m_r, "1m", "text_len_avg", cfg.chunk_points).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/chunks")
 
-    chunks = encode_chunks(t1m_r, "1m", "text_len_avg", cfg.chunk_points)
-    chunks.write.mode("overwrite").parquet(f"{out_dir}/chunks")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as pool:
+        futures = [pool.submit(f) for f in (_cascades, _index, _chunks)]
+        for fut in futures:
+            fut.result()
 
     # counts read parquet footers — metadata-only jobs
     rollup_all = spark.read.parquet(rollup_path)
