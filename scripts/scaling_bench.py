@@ -74,8 +74,13 @@ def ensure_data(n_urls: int, revisits: int) -> None:
 
 def run_at(cpus: int) -> dict:
     child = _CHILD.format(repo=REPO, data=DATA)
+    # taskset pins the WHOLE process tree (JVM incl. GC/shuffle/netty
+    # threads + python workers) to exactly `cpus` hardware cores. Without
+    # it, local[N] only bounds task slots while the JVM's service threads
+    # spill onto every core — which silently inflates the low-N baseline
+    # and is not how an N-core executor host behaves.
     out = subprocess.run(
-        [sys.executable, "-c", child, str(cpus)],
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", child, str(cpus)],
         check=True,
         capture_output=True,
         text=True,
@@ -168,8 +173,11 @@ here): the same rollup-pipeline job on the same deterministic synthetic
 crawl input ({n_urls} urls × {revisits} one-minute revisits, minus
 deterministic gaps ⇒ {results[n_low]['points']} rolled-up points), run at
 `local[{n_low}]` and `local[{n_high}]` (N = {n_low}, 4N = {n_high}) in
-fresh JVMs, sequentially, with Python UDF workers pre-warmed (worker
-startup amortizes to zero on a real long-running cluster job). The host is
+fresh JVMs, sequentially, each `taskset`-pinned to exactly N hardware
+cores (so GC/shuffle/IO threads can't spill beyond the nominal size — an
+honest emulation of an N-core executor host), with a full warm-up pipeline
+run first (JIT + codegen + Python workers; once-per-JVM costs that a real
+long-running cluster job amortizes to zero). The host is
 shared and noisy (±30% single-shot swings from external load), so the two
 levels are sampled alternately {os.environ.get('SCALING_REPEATS', '3')}×
 and each level's best (least-contended) sample is used; all samples are in

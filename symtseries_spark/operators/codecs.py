@@ -393,6 +393,7 @@ def encode_chunks(
     tier: str,
     value_col: str = "text_len_avg",
     chunk_points: int = 1440,
+    clustered: bool = False,
 ) -> DataFrame:
     """Pack each (key, tier, chunk) run of rollup points into one blob row.
 
@@ -415,7 +416,15 @@ def encode_chunks(
         .cast("long")
         .alias("chunk_id"),
     )
-    df = df.repartition("key").sortWithinPartitions("key", "chunk_id", "bucket_ts")
+    # clustered=True: caller guarantees the input is already key-clustered
+    # and time-sorted per key within each read split (e.g. a tier table
+    # written via repartition(key)+sortWithinPartitions, or a bucketed
+    # table) — group contiguity is all the encoder needs, so the shuffle
+    # and sort are skipped entirely.
+    if not clustered:
+        df = df.repartition("key").sortWithinPartitions(
+            "key", "chunk_id", "bucket_ts"
+        )
 
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -154,6 +154,7 @@ def symbolize_windows(
     w: int,
     c: int,
     value_col: str = "text_len_avg",
+    clustered: bool = False,
 ) -> DataFrame:
     """rollup tier → (key, window_ts, series, word, n, w, c).
 
@@ -186,7 +187,11 @@ def symbolize_windows(
         wnd.alias("window_ts"),
         off.alias("off"),
         F.col(value_col).cast("double").alias("v"),
-    ).repartition("key").sortWithinPartitions("key", "window_ts", "off")
+    )
+    # clustered=True: input already key-clustered + time-sorted per read
+    # split (see encode_chunks) — windows stay contiguous, skip the shuffle.
+    if not clustered:
+        df = df.repartition("key").sortWithinPartitions("key", "window_ts", "off")
 
     key_type = rollup.schema["key"].dataType
     out_schema = ST(

@@ -56,6 +56,12 @@ def run_pipeline(
         tmp = tempfile.mkdtemp(prefix="symtseries_pipeline_")
         out_dir = tmp
     t0 = time.time()
+    timings: dict[str, float] = {}
+
+    def _mark(label: str, since: float) -> float:
+        now = time.time()
+        timings[label] = round(now - since, 2)
+        return now
 
     # column pruning happens here: only url, warc_ts, length(text) survive
     # into the shuffle; html bytes never leave the scan.
@@ -75,7 +81,14 @@ def run_pipeline(
         hot_keys=hot_keys,
         salt_buckets=cfg.salt_buckets,
     )
-    CP.write_partitioned(t1m, rollup_path, "1m")
+    _t = _mark("plan_rollup", t0)
+    # Cluster the written tier by key and sort by time within each file:
+    # one extra shuffle here removes BOTH downstream repartition+sorts
+    # (symbolization and chunk encoding read with clustered=True). On a
+    # real warehouse this is the table's bucket/sort spec.
+    t1m = t1m.repartition("key")
+    CP.write_partitioned(t1m, rollup_path, "1m", sort_within=("key", "bucket_ts"))
+    _t = _mark("write_1m", _t)
     t1m_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1m")
 
     # The cascade chain, symbolization, and chunk encoding are independent
@@ -92,15 +105,17 @@ def run_pipeline(
         CP.write_partitioned(t1d, rollup_path, "1d")
 
     def _index():
-        sym = symbolize_windows(t1m_r, "1m", "1h", w=cfg.sax.w, c=cfg.sax.c)
+        sym = symbolize_windows(
+            t1m_r, "1m", "1h", w=cfg.sax.w, c=cfg.sax.c, clustered=True
+        )
         build_index(sym, tier="1h").write.mode("overwrite").parquet(
             f"{out_dir}/index"
         )
 
     def _chunks():
-        encode_chunks(t1m_r, "1m", "text_len_avg", cfg.chunk_points).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/chunks")
+        encode_chunks(
+            t1m_r, "1m", "text_len_avg", cfg.chunk_points, clustered=True
+        ).write.mode("overwrite").parquet(f"{out_dir}/chunks")
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -108,6 +123,7 @@ def run_pipeline(
         futures = [pool.submit(f) for f in (_cascades, _index, _chunks)]
         for fut in futures:
             fut.result()
+    _t = _mark("consumers_concurrent", _t)
 
     # counts read parquet footers — metadata-only jobs
     rollup_all = spark.read.parquet(rollup_path)
@@ -116,6 +132,7 @@ def run_pipeline(
     n1d = rollup_all.filter("tier='1d'").count()
     nwords = spark.read.parquet(f"{out_dir}/index").count()
     nchunks = spark.read.parquet(f"{out_dir}/chunks").count()
+    _t = _mark("counts", _t)
 
     if checkpoint_path:
         hw = t1m_r.agg(F.max("bucket_ts")).first()[0]
@@ -136,4 +153,5 @@ def run_pipeline(
         chunks=nchunks,
         wall_sec=wall,
         points_per_sec=points / wall if wall else 0.0,
+        timings=timings,
     )

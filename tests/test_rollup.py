@@ -94,3 +94,31 @@ def test_pipeline_rerun_idempotent(spark, crawl, tmp_path):
     )
     assert first == second
     assert m1["points_1m"] == m2["points_1m"]
+
+
+def test_pipeline_chunks_decode_to_tier_and_index_is_complete(spark, crawl, tmp_path):
+    """Clustered-write contract: chunks written via the clustered=True fast
+    path must decode to exactly the 1m tier, and the index must hold one
+    word per (key, hour) — catches any within-file ordering loss."""
+    from pyspark.sql import functions as F2
+
+    from symtseries_spark.operators.codecs import decode_chunks
+
+    out = str(tmp_path / "out3")
+    run_pipeline(spark, crawl, out_dir=out)
+    tier = spark.read.parquet(f"{out}/rollup").filter("tier='1m'")
+    chunks = spark.read.parquet(f"{out}/chunks")
+    decoded = decode_chunks(chunks)
+    want = {
+        (r.key, r.bucket_ts): r.text_len_avg
+        for r in tier.select("key", "bucket_ts", "text_len_avg").collect()
+    }
+    got = {(r.key, r.bucket_ts): r.value for r in decoded.collect()}
+    assert got == want
+
+    idx = spark.read.parquet(f"{out}/index")
+    n_windows = tier.select(
+        "key", F2.date_trunc("hour", "bucket_ts").alias("h")
+    ).distinct().count()
+    assert idx.count() == n_windows
+    assert idx.select("key", "window_ts").distinct().count() == n_windows
