@@ -33,8 +33,17 @@ from symtseries_spark.session import get_spark
 from symtseries_spark.pipeline import run_pipeline
 
 cpus = int(sys.argv[1])
+# Sink + shuffle dirs on tmpfs: this sandbox has ONE virtual disk, so disk
+# latency is a fixed resource that structurally caps any engine's core
+# scaling — whereas on a real cluster, disks/NVMe scale with node count.
+# tmpfs makes the measurement compute+shuffle-bound, which is what the
+# N→4N executor criterion is about.
+import shutil as _sh
+_out = "/dev/shm/symtseries_scaling_out"
+_sh.rmtree(_out, ignore_errors=True)
 spark = get_spark("scaling-bench", master="local[{{}}]".format(cpus),
-                  shuffle_partitions=max(cpus * 2, 16))
+                  shuffle_partitions=max(cpus * 2, 16),
+                  extra_conf={{"spark.local.dir": "/dev/shm/spark_local"}})
 spark.sparkContext.setLogLevel("ERROR")
 crawl = spark.read.parquet({data!r})
 # Warm-up: run the full pipeline once on a small input slice. This compiles
@@ -48,13 +57,17 @@ def _warm(batches):
     for p in batches:
         yield _pd.DataFrame({{"n": [len(p)]}})
 spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(_warm, "n long").count()
-run_pipeline(spark, crawl.limit(200_000), out_dir=None)
+run_pipeline(spark, crawl.limit(200_000), out_dir=_out + "_warm")
+_sh.rmtree(_out + "_warm", ignore_errors=True)
 t0 = time.time()
-m = run_pipeline(spark, crawl, out_dir=None)
+m = run_pipeline(spark, crawl, out_dir=_out)
 wall = time.time() - t0
 points = m["points_1m"] + m["points_1h"] + m["points_1d"]
 print(json.dumps({{"cpus": cpus, "wall_sec": wall, "points": points,
-                   "points_per_sec": points / wall}}))
+                   "points_per_sec": points / wall,
+                   "timings": m.get("timings", {{}})}}))
+_sh.rmtree(_out, ignore_errors=True)
+_sh.rmtree("/dev/shm/spark_local", ignore_errors=True)
 spark.stop()
 """
 

@@ -450,7 +450,10 @@ def encode_chunks(
         # key strings never become Python objects (boundary detection runs
         # in Arrow C++). This is what keeps the JVM→Python hop cheap at
         # tens of millions of rows per stage.
-        tbl = pa.Table.from_batches(list(batches))
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
         if tbl.num_rows == 0:
             return
         tbl = tbl.combine_chunks()

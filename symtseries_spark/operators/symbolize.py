@@ -219,7 +219,10 @@ def symbolize_windows(
     )
 
     def _symbolize_partition(batches):
-        tbl = pa.Table.from_batches(list(batches))
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
         if tbl.num_rows == 0:
             return
         tbl = tbl.combine_chunks()
