@@ -342,6 +342,62 @@ def q_embedding_ivf_topk(spark, sf_dir):
     )
 
 
+def q_union_tiers(spark, sf_dir):
+    """Set-operation coverage: 1h and 1d tiers unioned by name."""
+    t1h = _events_rollup(spark, sf_dir, "1h")
+    t1d = _events_rollup(spark, sf_dir, "1d")
+    u = _ROLLUP_PROJ(t1h).unionByName(_ROLLUP_PROJ(t1d))
+    return u
+
+
+def q_user_rank_by_activity(spark, sf_dir):
+    """Ranking window functions: row_number + rank over per-type activity."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy(
+        F.col("user_id").alias("key"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("key").asc()
+    )
+    return per.select(
+        "key",
+        "event_type",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+    ).filter(F.col("rn") <= 5)
+
+
+def q_event_type_strings(spark, sf_dir):
+    """String-function coverage: upper/substring/like/length over events."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type").like("%e%"))
+        .groupBy(
+            F.upper("event_type").alias("etype_upper"),
+            F.substring("event_type", 1, 2).alias("prefix2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("props")).alias("props_len_sum"),
+        )
+    )
+
+
+def q_user_type_sets(spark, sf_dir):
+    """Array-agg coverage: distinct event types per user as a sorted
+    string (string form keeps the cross-engine hash comparable)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 def q_exact_knn_daily(spark, sf_dir):
     """Guaranteed-exact kNN via the mindist bound-refine loop (rows-only:
     z-normalized Euclidean over assembled series has no faithful SQL)."""
@@ -397,6 +453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "embedding_topk": q_embedding_topk,
         "gorilla_roundtrip_1h": q_gorilla_roundtrip_1h,
+        "union_tiers": q_union_tiers,
+        "user_rank_by_activity": q_user_rank_by_activity,
+        "event_type_strings": q_event_type_strings,
+        "user_type_sets": q_user_type_sets,
         # rows-only (no faithful DuckDB expression)
         "sax_words_daily": q_sax_words_daily,
         "mindist_topk_daily": q_mindist_topk_daily,
@@ -552,8 +612,36 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "gorilla_roundtrip_1h": """
-            SELECT user_id AS key, date_trunc('hour', ts) AS bucket_ts,
+            SELECT user_id AS key, date_trunc('hour', ts)::TIMESTAMP AS bucket_ts,
                    round(avg(value), 6) AS avg_v
             FROM events GROUP BY 1, 2
+        """,
+        "union_tiers": rollup_1h + " UNION ALL " + rollup_1d,
+        "user_rank_by_activity": """
+            WITH per AS (
+              SELECT user_id AS key, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT key, event_type, n,
+                   row_number() OVER w AS rn,
+                   rank() OVER w AS rnk
+            FROM per
+            WINDOW w AS (PARTITION BY event_type ORDER BY n DESC, key ASC)
+            QUALIFY rn <= 5
+        """,
+        "event_type_strings": """
+            SELECT upper(event_type) AS etype_upper,
+                   substring(event_type, 1, 2) AS prefix2,
+                   count(*) AS n,
+                   sum(length(props))::BIGINT AS props_len_sum
+            FROM events WHERE event_type LIKE '%e%'
+            GROUP BY 1, 2
+        """,
+        "user_type_sets": """
+            SELECT user_id AS key,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                     AS types,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY 1
         """,
     }
