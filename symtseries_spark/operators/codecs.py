@@ -73,22 +73,27 @@ def _pack_codes(bits: np.ndarray, nbits: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    """Sequential bit cursor over a packed byte string (decode path)."""
+    """Sequential bit cursor over a packed byte string (decode path).
 
-    __slots__ = ("bits", "pos")
+    read(n ≤ 64) is O(1): it slices a 9-byte window around the cursor,
+    interprets it as a big-endian int, and masks — no per-bit Python loop.
+    """
+
+    __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.data = data + b"\x00" * 9  # pad so the window never runs short
         self.pos = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        b = self.bits
         p = self.pos
-        for i in range(n):
-            v = (v << 1) | int(b[p + i])
         self.pos = p + n
-        return v
+        byte0 = p >> 3
+        window = int.from_bytes(self.data[byte0 : byte0 + 9], "big")
+        # window holds 72 bits starting at byte0*8; drop leading (p - byte0*8)
+        # bits and trailing bits after our n.
+        shift = 72 - (p - (byte0 << 3)) - n
+        return (window >> shift) & ((1 << n) - 1)
 
 
 # ---------------------------------------------------------------------------
