@@ -70,21 +70,64 @@ def _hash_shingles(texts: pd.Series, k: int) -> list[np.ndarray]:
 
 
 def minhash_udf(num_perm: int = 64, k: int = 5, seed: int = 1):
-    """text → array<long> MinHash signature (num_perm universal hashes)."""
+    """text → array<long> MinHash signature (num_perm universal hashes).
+
+    Vectorized across the whole Arrow batch: all texts' bytes concatenate
+    into one array, ONE sliding-window polynomial-hash pass produces every
+    shingle hash, windows crossing document boundaries are masked, and the
+    per-document minima come from ``np.minimum.reduceat`` — no per-row
+    Python beyond the byte-concatenation itself.
+    """
     rng = np.random.RandomState(seed)
     A = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     B = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    powers = base ** np.arange(k, dtype=np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
     def _minhash(texts: pd.Series) -> pd.Series:
-        shingles = _hash_shingles(texts, k)
-        sigs = []
-        for h in shingles:
-            # (a*x + b) mod p for all perms × shingles, take min per perm
-            x = h[None, :]  # (1, S)
-            vals = (A[:, None] * x + B[:, None]) % np.uint64(_MERSENNE)
-            sigs.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(sigs)
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        encoded = [t.encode("utf-8", "ignore") for t in texts.fillna("")]
+        lens = np.array([len(b) for b in encoded], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        blob = np.frombuffer(b"".join(encoded) + b"\0" * k, dtype=np.uint8)
+
+        # one global rolling-hash pass over every k-byte window
+        windows = np.lib.stride_tricks.sliding_window_view(
+            blob[: offsets[-1] + k - 1] if offsets[-1] else blob[:k], k
+        ).astype(np.uint64)
+        h = windows @ powers  # (W,) uint64, wraps mod 2^64
+
+        # a window starting at global position i belongs to the doc whose
+        # span contains [i, i+k); mark cross-boundary and short-doc windows
+        W = offsets[-1] if offsets[-1] else 1
+        pos = np.arange(W)
+        doc = np.searchsorted(offsets, pos, side="right") - 1
+        valid = pos + k <= offsets[doc + 1]
+        h = h[:W]
+
+        sigs = np.empty((len(texts), num_perm), dtype=np.int64)
+        MAXU = np.iinfo(np.uint64).max
+        MOD = np.uint64(_MERSENNE)
+        n_docs = len(texts)
+        starts = np.minimum(offsets[:-1], max(W - 1, 0))
+        for p in range(num_perm):
+            vals = (A[p] * h + B[p]) % MOD
+            vals = np.where(valid, vals, MAXU)
+            if W:
+                mins = np.minimum.reduceat(vals, starts)
+            else:
+                mins = np.full(n_docs, MAXU, np.uint64)
+            # zero-length docs share a start with their neighbor → override;
+            # docs shorter than k have only invalid windows → already MAXU
+            mins = np.where(lens == 0, MAXU, mins)
+            # sentinel for "no shingle": hash of the single 0-shingle
+            # (matches the previous per-row implementation for short docs)
+            sentinel = (A[p] * np.uint64(0) + B[p]) % MOD
+            mins = np.where(mins == MAXU, sentinel, mins)
+            sigs[:, p] = mins.astype(np.int64)
+        return pd.Series(list(sigs))
 
     return _minhash
 
