@@ -268,6 +268,11 @@ def q_gorilla_roundtrip_1h(spark, sf_dir):
 # ---- rows-only (no faithful SQL expression) -------------------------------
 
 
+#: radius for the exact daily range query — chosen from the sf0.01 euclid
+#: distribution (≈ 7th percentile) so the answer set is non-empty but small
+RANGE_RADIUS = 0.5
+
+
 def _daily_words(spark, sf_dir):
     r = _events_rollup(spark, sf_dir, "1h")
     return symbolize_windows(r, "1h", "1d", w=12, c=8, value_col="text_len_avg")
@@ -285,15 +290,25 @@ def q_mindist_topk_daily(spark, sf_dir):
 
 
 def q_isax_range_daily(spark, sf_dir):
-    idx = build_index(_daily_words(spark, sf_dir), "1d")
-    return range_query(idx, "DDDDAAAADDDD", 8, radius=3.0, n_query=24).select(
-        "key", "window_ts", "word", F.round("mindist", 6).alias("mindist")
+    """Exact range search: all daily windows whose true z-normalized
+    Euclidean distance to the probe ≤ radius, answered via the bound-safe
+    iSAX lower-bound prune + exact refine (no false dismissals). The radius
+    is data-meaningful (non-empty at every SF) and the result is oracled
+    against a full DuckDB scan."""
+    import numpy as np
+
+    from symtseries_spark.operators.index import range_query_exact
+
+    words = _daily_words(spark, sf_dir)
+    qs = np.sin(np.linspace(0, 6.28, 24)) * 50 + 100
+    return range_query_exact(words, qs, w=12, c=8, radius=RANGE_RADIUS).select(
+        "key", "window_ts", F.round("euclid", 6).alias("euclid")
     )
 
 
 def q_promote_hot_words(spark, sf_dir):
     words = _daily_words(spark, sf_dir)
-    return promote_words(words, segment=0, threshold=20).select(
+    return promote_words(words, segment=0, threshold=20, w=12, c=8, n=24).select(
         "key", "window_ts", "word", "word_promoted"
     )
 
@@ -418,7 +433,177 @@ def q_media_features(spark, sf_dir):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     meta = M.with_media_metadata(docs)
-    return M.extract_features(meta).select("media_id", "mime", "feature")
+    feats = M.extract_features(meta)
+    # serialize the feature vector to a scalar for the contract surface —
+    # the driver's value-hash canonicalizer cannot hash array columns
+    feat_q6 = F.array_join(
+        F.transform("feature", lambda x: F.round(x * 1e6).cast("long").cast("string")),
+        ",",
+    )
+    return feats.select("media_id", "mime", feat_q6.alias("feature_q6"))
+
+
+# --------------------------------------------------------------------------
+# oracle SQL generators for the iSAX surface — the DuckDB literals (query
+# z-norm vector, Gaussian breakpoints, dist-table cells) are derived from
+# the SAME kernel tables the Spark path uses, so the oracle replays the
+# exact symbolization / mindist / refine semantics end to end.
+# --------------------------------------------------------------------------
+
+
+def _probe_series():
+    import numpy as np
+
+    return np.sin(np.linspace(0, 6.28, 24)) * 50 + 100
+
+
+from symtseries_spark.operators.text import STOPWORDS as _STOPWORDS  # noqa: E402
+
+_STOPWORDS_SQL = ",".join(f"'{w}'" for w in _STOPWORDS)
+
+
+#: shared CTE body: hourly rollup → daily 24-slot windows (off = hour index)
+_DAILY_BODY = """h AS (
+      SELECT user_id AS key, date_trunc('hour', ts)::TIMESTAMP AS bts,
+             sum(value) / count(value) AS v
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT key, date_trunc('day', bts)::TIMESTAMP AS window_ts,
+             extract(hour FROM bts)::INT AS off, v
+      FROM h
+    )"""
+
+#: two-pass per-window stats (the refine metric's estimator: nanmean/nanstd)
+_DAILY_CTE = (
+    "WITH "
+    + _DAILY_BODY
+    + """, s AS (
+      SELECT key, window_ts, avg(v) AS mu,
+             coalesce(stddev_pop(v), 0) AS sd
+      FROM d GROUP BY 1, 2
+    )
+"""
+)
+
+#: Welford per-window stats — bit-exact replica of kernel.batch_mu_std's
+#: sequential update (s2 += Δ²·cnt/new_cnt before mean += Δ/new_cnt), which
+#: the symbolizer inherits from the reference's estimate_mu_and_std. A
+#: two-pass stddev_pop differs in the last ulp, which flips the SIGN of
+#: structurally-zero PAA numerators (frame holding every present value) at
+#: the 0.0 breakpoint — the oracle must replay the FP recurrence exactly.
+_DAILY_WELFORD_CTE = (
+    "WITH RECURSIVE "
+    + _DAILY_BODY
+    + """, wins AS (
+      SELECT DISTINCT key, window_ts FROM d
+    ), wf AS (
+      SELECT key, window_ts, -1 AS j, 0 AS cnt,
+             0.0::DOUBLE AS mean, 0.0::DOUBLE AS s2
+      FROM wins
+      UNION ALL
+      SELECT wf.key, wf.window_ts, wf.j + 1,
+             CASE WHEN d.v IS NULL THEN wf.cnt ELSE wf.cnt + 1 END,
+             CASE WHEN d.v IS NULL THEN wf.mean
+                  ELSE wf.mean + (d.v - wf.mean) / (wf.cnt + 1) END,
+             CASE WHEN d.v IS NULL THEN wf.s2
+                  ELSE wf.s2 + ((d.v - wf.mean) * (d.v - wf.mean))
+                       * wf.cnt / (wf.cnt + 1) END
+      FROM wf
+      LEFT JOIN d ON d.key = wf.key AND d.window_ts = wf.window_ts
+                  AND d.off = wf.j + 1
+      WHERE wf.j < 23
+    ), s AS (
+      SELECT key, window_ts, mean AS mu,
+             CASE WHEN cnt > 0 THEN sqrt(s2 / cnt) ELSE 0.0 END AS sd
+      FROM wf WHERE j = 23
+    )
+"""
+)
+
+
+def _euclid_cte() -> str:
+    """+ e: z-normalized Euclid distance of every daily window to the probe
+    (DuckDB replica of index.euclid_udf: population std over present hours,
+    STAT_EPS stationary guard, missing slots contribute 0)."""
+    qs = _probe_series()
+    qz = (qs - qs.mean()) / qs.std()
+    qlist = ",".join(repr(float(x)) for x in qz)
+    return (
+        _DAILY_CTE
+        + f"""
+        , q AS (SELECT [{qlist}]::DOUBLE[] AS qz), e AS (
+          SELECT d.key, d.window_ts,
+                 sqrt(sum(pow(
+                   (CASE WHEN s.sd < 0.01 THEN 0.0
+                         ELSE (d.v - s.mu) / s.sd END) - q.qz[d.off + 1],
+                   2))) AS euclid
+          FROM d JOIN s USING (key, window_ts), q
+          GROUP BY 1, 2
+        )
+    """
+    )
+
+
+def _words_cte() -> str:
+    """+ sy/wd: per-frame SAX letters and 12-letter daily words (DuckDB
+    replica of kernel.symbolize_batch for n=24, w=12, c=8, fs=2)."""
+    from symtseries_spark import kernel as K
+
+    br = K.breakpoints(8)
+    idx_terms = " + ".join(f"(normed >= {float(b)!r})::INT" for b in br)
+    return (
+        _DAILY_WELFORD_CTE
+        + f"""
+        , fr AS (
+          SELECT key, window_ts, off // 2 AS f,
+                 sum(v) AS fsum, count(v) AS fcnt
+          FROM d GROUP BY 1, 2, 3
+        ), fx AS (
+          SELECT s.key, s.window_ts, g.f,
+                 coalesce(fr.fsum, 0) AS fsum, coalesce(fr.fcnt, 0) AS fcnt,
+                 s.mu, s.sd
+          FROM s CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS f) g
+          LEFT JOIN fr ON fr.key = s.key AND fr.window_ts = s.window_ts
+                       AND fr.f = g.f
+        ), nx AS (
+          SELECT key, window_ts, f, fcnt,
+                 CASE WHEN fcnt = 0 THEN 0.0
+                      WHEN sd < 0.01 THEN 0.0
+                      ELSE (fsum - fcnt * mu) / (fcnt * sd) END AS normed
+          FROM fx
+        ), sy AS (
+          SELECT key, window_ts, f,
+                 CASE WHEN fcnt = 0 THEN '#'
+                      ELSE substr('ABCDEFGH', 1 + {idx_terms}, 1)
+                 END AS letter
+          FROM nx
+        ), wd AS (
+          SELECT key, window_ts, string_agg(letter, '' ORDER BY f) AS word
+          FROM sy GROUP BY 1, 2
+        )
+    """
+    )
+
+
+def _mindist_cellsq_case(qword: str = "DDDDAAAADDDD", c: int = 8) -> str:
+    """Per-(frame, letter) squared dist-table cell vs the query word,
+    including the reference's farthest-extreme '#' substitution."""
+    from symtseries_spark import kernel as K
+
+    dist = K.dist_matrix(c)
+    frame_cases = []
+    for f, ch in enumerate(qword):
+        s_q = c - 1 - (ord(ch) - ord("A"))
+        b_sub = 0 if s_q > (c - 1 - s_q) else c - 1
+        parts = []
+        for L in "ABCDEFGH":
+            s_b = c - 1 - (ord(L) - ord("A"))
+            cell = float(dist[s_q, s_b])
+            parts.append(f"WHEN '{L}' THEN {cell * cell!r}")
+        cell_s = float(dist[s_q, b_sub])
+        parts.append(f"WHEN '#' THEN {cell_s * cell_s!r}")
+        frame_cases.append(f"WHEN f = {f} THEN CASE letter {' '.join(parts)} END")
+    return "CASE " + " ".join(frame_cases) + " END"
 
 
 # --------------------------------------------------------------------------
@@ -643,5 +828,51 @@ def oracle_sql() -> dict[str, str]:
                      AS types,
                    count(DISTINCT event_type) AS n_types
             FROM events GROUP BY 1
+        """,
+        # ---- iSAX surface: DuckDB replays symbolization / mindist / refine
+        "sax_words_daily": _words_cte()
+        + """
+            SELECT key, window_ts, word,
+                   24::INT AS n, 12::INT AS w, 8::INT AS c
+            FROM wd
+        """,
+        "mindist_topk_daily": _words_cte()
+        + f"""
+            , ms AS (
+              SELECT key, window_ts, sum({_mindist_cellsq_case()}) AS s2
+              FROM sy GROUP BY 1, 2
+            )
+            SELECT w.key, w.window_ts, w.word,
+                   round(sqrt(2.0) * sqrt(ms.s2), 6) AS mindist
+            FROM wd w JOIN ms USING (key, window_ts)
+            ORDER BY sqrt(2.0) * sqrt(ms.s2), key, window_ts
+            LIMIT 20
+        """,
+        "exact_knn_daily": _euclid_cte()
+        + """
+            SELECT key, window_ts, round(euclid, 6) AS euclid
+            FROM e ORDER BY euclid, key, window_ts LIMIT 10
+        """,
+        "isax_range_daily": _euclid_cte()
+        + f"""
+            SELECT key, window_ts, round(euclid, 6) AS euclid
+            FROM e WHERE euclid <= {float(RANGE_RADIUS)!r}
+        """,
+        "doc_quality": rf"""
+            WITH wq AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(lower(text), '\s+') AS ws
+              FROM documents
+            )
+            SELECT doc_id, round(
+              (CASE WHEN length(text) < 20 THEN 0.2
+                    WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) * 0.25
+              + least(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                      / greatest(length(text), 1) * 1.5, 1.0) * 0.25
+              + least(len(list_filter(ws, x -> x IN ({_STOPWORDS_SQL})))::DOUBLE
+                      / greatest(len(ws), 1) * 4, 1.0) * 0.25
+              + len(list_distinct(ws))::DOUBLE / greatest(len(ws), 1) * 0.25
+            , 6) AS quality
+            FROM wq
         """,
     }

@@ -370,6 +370,51 @@ def mindist_batch(
     return d, above, below
 
 
+def mindist_lb_batch(
+    qa: np.ndarray,
+    cands: np.ndarray,
+    c: int,
+    fs: int,
+    frame_full: np.ndarray,
+) -> np.ndarray:
+    """TRUE lower bound of the z-normalized Euclidean refine distance.
+
+    The reference-compatible :func:`mindist_batch` substitutes the FARTHEST
+    extreme for '#' sentinels (a *query* semantic, symtseries.h:120-124) —
+    that makes it an over-estimate whenever a word contains '#', so it must
+    never be used for pruning. This variant is bound-safe:
+
+      * a frame contributes ``fs * cell(a, b)**2`` ONLY when both symbols
+        are real AND the candidate frame is fully finite (``frame_full``
+        bit set) — then the textbook PAA argument applies per frame:
+        sum_i (zq_i - zc_i)^2 >= fs * (paa_q - paa_c)^2 >= fs * cell^2;
+      * sentinel or partially-missing frames contribute 0 (their refine
+        contribution is >= 0 by construction, since the refine metric
+        zeroes non-finite positions).
+
+    qa: (w,) query symbols from a FULLY-FINITE query series (any '#' query
+    frame contributes 0 anyway). cands: (B, w). frame_full: (B,) int64
+    bitmask, bit f = candidate frame f fully finite. fs = n // w.
+    Requires the refine metric to share the symbolizer's STAT_EPS
+    stationary guard (z := 0 when std < STAT_EPS) so word symbols always
+    encode the sector of the refine-space PAA mean.
+    """
+    qa = np.asarray(qa, dtype=np.int64)
+    cands = np.asarray(cands, dtype=np.int64)
+    B, w = cands.shape
+    dist = _DIST[int(c)]
+    a = np.broadcast_to(qa, (B, w))
+    full = (
+        (np.asarray(frame_full, dtype=np.int64)[:, None] >> np.arange(w)) & 1
+    ).astype(bool)
+    ok = (a != c) & (cands != c) & full
+    a_safe = np.where(ok, a, 0)
+    b_safe = np.where(ok, cands, 0)
+    cells = dist[a_safe, b_safe]
+    sq = np.where(ok, cells * cells, 0.0)
+    return np.sqrt(float(fs) * sq.sum(axis=1))
+
+
 def mindist(a: Word, b: Word) -> tuple[float, float, float]:
     """mindist(a, b) → (d, above, below); NaN on incompatible (w, c, n)."""
     if a is None or b is None or a.c != b.c or a.w != b.w:

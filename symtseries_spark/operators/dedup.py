@@ -33,15 +33,31 @@ from pyspark.sql.types import ArrayType, LongType
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the smallest id per identical text (hash-groupBy, one shuffle).
+    """Keep the smallest id per identical text.
 
-    Grouping key is xxhash64(text), not text itself, so the shuffle moves
-    8-byte keys instead of documents; the (vanishingly rare) hash collision
-    is resolved by a final exact check within groups.
+    Phase 1 shuffles ONLY (id, 8-byte xxhash64) pairs to find multi-doc
+    hash groups; unique-hash docs are decided right there. Phase 2 resolves
+    the multi-doc groups (true duplicates + the vanishingly rare collisions)
+    with an exact group-by on (hash, text) — full documents shuffle only for
+    members of those groups, a tiny fraction of a deduplicated corpus. The
+    multi-hash set is broadcast (bounded by the number of duplicate groups).
     """
-    h = docs.withColumn("_h", F.xxhash64(F.col(text_col)))
-    keep = h.groupBy("_h", text_col).agg(F.min(id_col).alias(id_col))
-    return docs.join(keep.select(id_col), id_col, "left_semi")
+    ids = docs.select(F.col(id_col).alias("_id"), F.xxhash64(F.col(text_col)).alias("_h"))
+    groups = ids.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_keep")
+    )
+    singles = groups.filter(F.col("_n") == 1).select(F.col("_keep").alias(id_col))
+    multi_h = groups.filter(F.col("_n") > 1).select("_h")
+    multi_docs = docs.withColumn("_h", F.xxhash64(F.col(text_col))).join(
+        F.broadcast(multi_h), "_h", "left_semi"
+    )
+    multi_keep = (
+        multi_docs.groupBy("_h", text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    keep = singles.unionByName(multi_keep)
+    return docs.join(keep, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -51,20 +67,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 _MERSENNE = (1 << 61) - 1
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64 avalanche finalizer (public constants).
+
+    Polynomial rolling hashes of overlapping shingles are heavily
+    correlated (adjacent windows share k-1 bytes); without avalanche
+    mixing, SimHash bit votes concentrate and MinHash minima collide
+    across unrelated documents. One mix pass makes every shingle hash
+    effectively uniform in 2^64.
+    """
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
 def _hash_shingles(texts: pd.Series, k: int) -> list[np.ndarray]:
     """Per text: uint64 hashes of its k-character shingles (vectorized per
-    batch via numpy polynomial rolling hash over the byte array)."""
+    batch via numpy polynomial rolling hash + avalanche mix)."""
     out = []
     for t in texts.fillna(""):  # loop over batch rows; inner work is numpy
         b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
         if len(b) < k:
-            out.append(np.array([0], dtype=np.uint64))
+            out.append(_mix64(np.array([0], dtype=np.uint64)))
             continue
         # rolling polynomial hash of every k-byte window
         base = np.uint64(1099511628211)
         powers = base ** np.arange(k, dtype=np.uint64)
         windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        h = (windows * powers).sum(axis=1)
+        h = _mix64((windows * powers).sum(axis=1))
         out.append(np.unique(h))
     return out
 
@@ -91,13 +125,19 @@ def minhash_udf(num_perm: int = 64, k: int = 5, seed: int = 1):
         encoded = [t.encode("utf-8", "ignore") for t in texts.fillna("")]
         lens = np.array([len(b) for b in encoded], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)])
+        if offsets[-1] == 0:
+            # every text in the batch is empty/null: emit the per-permutation
+            # sentinel signature directly (the pos/doc/searchsorted machinery
+            # below would index out of bounds on an all-empty blob)
+            sent = (B % np.uint64(_MERSENNE)).astype(np.int64)
+            return pd.Series([sent.copy() for _ in range(len(texts))])
         blob = np.frombuffer(b"".join(encoded) + b"\0" * k, dtype=np.uint8)
 
         # one global rolling-hash pass over every k-byte window
         windows = np.lib.stride_tricks.sliding_window_view(
-            blob[: offsets[-1] + k - 1] if offsets[-1] else blob[:k], k
+            blob[: offsets[-1] + k - 1], k
         ).astype(np.uint64)
-        h = windows @ powers  # (W,) uint64, wraps mod 2^64
+        h = _mix64(windows @ powers)  # (W,) uint64, avalanche-mixed
 
         # a window starting at global position i belongs to the doc whose
         # span contains [i, i+k); mark cross-boundary and short-doc windows
@@ -132,6 +172,21 @@ def minhash_udf(num_perm: int = 64, k: int = 5, seed: int = 1):
     return _minhash
 
 
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """(id, sig) MinHash signature table — computed once, reused by both
+    the banded join and the estimate step."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        minhash_udf(num_perm, k)(F.col(text_col)).alias("sig"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -139,21 +194,27 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     k: int = 5,
+    max_bucket: int = 256,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH: (id_a, id_b, sig_a, sig_b).
+    """Candidate near-dup pairs via banded LSH: (id_a, id_b).
 
     signature → `bands` band-hashes → explode → self-join per (band, hash)
-    bucket. The self-join is an equi-join on the bucket key, so only
-    colliding docs ever meet; id_a < id_b dedups the pair space.
+    bucket. Scale discipline:
+      * the pair-space dedup is a ``.distinct()`` on (id_a, id_b) ONLY —
+        signatures are re-attached afterwards, so the widest shuffle moves
+        16-byte pairs, never 64-long arrays;
+      * buckets larger than ``max_bucket`` are dropped before the join
+        (a hot band bucket is quadratic in its size — at web scale one
+        degenerate bucket, e.g. boilerplate-only pages, melts the stage;
+        Manku-style systems cap exactly like this and the dropped mass is
+        logged via the bucket-count aggregate).
     """
     rows_per_band = num_perm // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_udf(num_perm, k)(F.col(text_col)).alias("sig"),
-    )
+    if sig is None:
+        sig = minhash_signatures(docs, text_col, id_col, num_perm, k)
     banded = sig.select(
         "id",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -167,19 +228,23 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
-    pairs = (
+    if max_bucket:
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "bucket")
+        )
+        banded = banded.withColumn("_bn", cnt).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+    left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return pairs
 
 
 def minhash_lsh_dupes(
@@ -190,9 +255,24 @@ def minhash_lsh_dupes(
     num_perm: int = 64,
     bands: int = 16,
     k: int = 5,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """Near-dup pairs whose estimated Jaccard (signature agreement) ≥ threshold."""
-    pairs = minhash_lsh_candidates(docs, text_col, id_col, num_perm, bands, k)
+    """Near-dup pairs whose estimated Jaccard (signature agreement) ≥ threshold.
+
+    Signatures join back onto the (narrow) candidate pairs — at scale the
+    candidate side is small, so Catalyst/AQE broadcasts it against the
+    signature table instead of shuffling signatures through the pair dedup.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, num_perm, k)
+    pairs = minhash_lsh_candidates(
+        docs, text_col, id_col, num_perm, bands, k, max_bucket, sig=sig
+    )
+    withA = pairs.join(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    )
+    withB = withA.join(
+        sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
+    )
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
@@ -200,7 +280,7 @@ def minhash_lsh_dupes(
         )
     ) / F.lit(num_perm)
     return (
-        pairs.withColumn("jaccard_est", agree)
+        withB.withColumn("jaccard_est", agree)
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
@@ -246,26 +326,53 @@ def ngram_jaccard(
 # ---------------------------------------------------------------------------
 
 
-def simhash_udf(k: int = 4):
+def simhash_udf(k: int = 8):
     """text → 64-bit SimHash over k-gram hashes (Charikar 2002).
 
-    Per batch: shingle-hash, unpack to a ±1 bit matrix, weighted sum per
-    bit position, sign → bits. All numpy.
+    Fully vectorized across the Arrow batch (same global sliding-window
+    pass as minhash_udf): ONE rolling-hash pass over the concatenated
+    bytes, avalanche mix (murmur3 fmix64 — without it adjacent windows'
+    hashes correlate and the signature space collapses to a few hundred
+    values corpus-wide), then per-document frequency-weighted bit votes
+    via 64 ``np.add.reduceat`` passes — repeated shingles vote with their
+    multiplicity, per Charikar/Manku. No per-row Python.
     """
+    base = np.uint64(1099511628211)
+    powers = base ** np.arange(k, dtype=np.uint64)
+
     @pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        shingles = _hash_shingles(texts, k)
-        out = np.empty(len(shingles), dtype=np.int64)
-        for i, h in enumerate(shingles):
-            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
-                                 bitorder="little")  # (S, 64)
-            votes = bits.sum(axis=0) * 2 - len(h)  # (+1 / -1 tally)
-            sim = np.uint64(0)
-            onebits = np.nonzero(votes > 0)[0]
-            for b in onebits:
-                sim |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sim.astype(np.int64))
-        return pd.Series(out)
+        if len(texts) == 0:
+            return pd.Series([], dtype=np.int64)
+        encoded = [t.encode("utf-8", "ignore") for t in texts.fillna("")]
+        lens = np.array([len(b) for b in encoded], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        n_docs = len(texts)
+        if offsets[-1] == 0:
+            return pd.Series(np.zeros(n_docs, dtype=np.int64))
+        blob = np.frombuffer(b"".join(encoded) + b"\0" * k, dtype=np.uint8)
+        windows = np.lib.stride_tricks.sliding_window_view(
+            blob[: offsets[-1] + k - 1], k
+        ).astype(np.uint64)
+        h = _mix64(windows @ powers)
+
+        W = offsets[-1]
+        pos = np.arange(W)
+        doc = np.searchsorted(offsets, pos, side="right") - 1
+        valid = pos + k <= offsets[doc + 1]
+        h = h[:W]
+        starts = np.minimum(offsets[:-1], W - 1)
+        n_valid = np.add.reduceat(valid.astype(np.int64), starts)
+        n_valid = np.where(lens == 0, 0, n_valid)
+
+        sim = np.zeros(n_docs, dtype=np.uint64)
+        for b in range(64):
+            bit = (((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)) & valid
+            ones = np.add.reduceat(bit, starts)
+            ones = np.where(lens == 0, 0, ones)
+            votes = 2 * ones - n_valid
+            sim |= (votes > 0).astype(np.uint64) << np.uint64(b)
+        return pd.Series(sim.astype(np.int64))
 
     return _simhash
 
@@ -275,14 +382,24 @@ def simhash_dupes(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 4,
+    k: int = 8,
+    max_bucket: int = 256,
+    verify_threshold: float | None = 0.6,
+    verify_k: int = 5,
 ) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming, verified
+    by exact n-gram Jaccard.
 
-    Uses the Manku et al. (WWW 2007) table-split trick: split the 64-bit
-    hash into (max_hamming+1) blocks; any pair within distance d must agree
-    exactly on ≥1 block (pigeonhole), so candidates come from equi-joins on
-    block values — never a cross join.
+    Candidate generation uses the Manku et al. (WWW 2007) table-split
+    trick: split the 64-bit hash into (max_hamming+1) blocks; any pair
+    within distance d must agree exactly on ≥1 block (pigeonhole), so
+    candidates come from equi-joins on block values — never a cross join.
+    Scale discipline mirrors minhash_lsh_candidates: block buckets larger
+    than ``max_bucket`` are dropped (a degenerate block value is quadratic
+    in its bucket size), the pair dedup shuffles (id_a, id_b, 8-byte sims)
+    only, and every surviving pair is VERIFIED with exact character-k-gram
+    Jaccard (``ngram_jaccard``) so a SimHash collision can never emit a
+    false near-duplicate.
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
@@ -304,6 +421,13 @@ def simhash_dupes(
             )
         ).alias("block", "val"),
     )
+    if max_bucket:
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("block", "val"))
+        blocks = blocks.withColumn("_bn", cnt).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     left = blocks.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
                          "block", "val")
     right = blocks.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
@@ -315,6 +439,14 @@ def simhash_dupes(
         .distinct()
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    pairs = (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    if verify_threshold is None:
+        return pairs
+    verified = ngram_jaccard(pairs, docs, id_col, text_col, verify_k)
+    return verified.filter(F.col("jaccard") >= verify_threshold).select(
+        "id_a", "id_b", "hamming", F.round("jaccard", 6).alias("jaccard")
+    )

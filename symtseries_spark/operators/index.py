@@ -32,21 +32,30 @@ from symtseries_spark.operators.symbolize import (
     MINDIST_SCHEMA,
     _strings_from_symbols,
     _symbols_from_strings,
+    mindist_lb_udf,
     mindist_udf,
 )
 
 
 def build_index(symbolized: DataFrame, tier: str = "1h") -> DataFrame:
-    """Symbolized windows → index rows (word, w, c, n, tier, key, window_ts)."""
-    return symbolized.select(
+    """Symbolized windows → index rows (word, w, c, n, frame_full, tier, key,
+    window_ts). frame_full (a per-frame fully-finite bitmask, 0 when absent)
+    is what lets exact kNN / exact range prune with a TRUE lower bound."""
+    cols = [
         "word",
         "w",
         "c",
         "n",
+        (
+            F.col("frame_full")
+            if "frame_full" in symbolized.columns
+            else F.lit(0).cast("long").alias("frame_full")
+        ),
         F.lit(tier).alias("tier"),
         "key",
         "window_ts",
-    )
+    ]
+    return symbolized.select(*cols)
 
 
 def write_index(index: DataFrame, path: str, buckets: int = 64) -> None:
@@ -114,20 +123,29 @@ def knn_query(
     )
 
 
-def refine_knn(
-    candidates: DataFrame,
-    series_df: DataFrame,
-    query_series: np.ndarray,
-    k: int,
-) -> DataFrame:
-    """Exact refinement: join candidates back to raw series and rank by true
-    z-normalized Euclidean distance. candidates ≪ index, so the join
-    broadcasts the candidate side."""
+def znorm_query(query_series: np.ndarray) -> np.ndarray:
+    """z-normalize the query with the kernel's semantics: population std
+    over finite values, STAT_EPS stationary guard → all-zero vector."""
     q = np.asarray(query_series, dtype=np.float64)
     qz = q.copy()
     fin = np.isfinite(qz)
-    if fin.any() and qz[fin].std() > 0:
-        qz[fin] = (qz[fin] - qz[fin].mean()) / qz[fin].std()
+    if fin.any():
+        sd = qz[fin].std()
+        if sd < K.STAT_EPS:
+            qz[fin] = 0.0
+        else:
+            qz[fin] = (qz[fin] - qz[fin].mean()) / sd
+    return qz
+
+
+def euclid_udf(query_series: np.ndarray):
+    """pandas UDF: series → z-normalized Euclidean distance to the query.
+
+    Mirrors the symbolizer's semantics exactly (population std over finite
+    values, STAT_EPS stationary guard → zero vector, non-finite positions
+    contribute 0) so kernel.mindist_lb_batch is a valid lower bound of it.
+    """
+    qz = znorm_query(query_series)
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
@@ -137,19 +155,79 @@ def refine_knn(
         if len(series) == 0:
             return pd.Series([], dtype=np.float64)
         X = np.stack(series.to_numpy()).astype(np.float64, copy=False)
-        mu = np.nanmean(np.where(np.isfinite(X), X, np.nan), axis=1, keepdims=True)
-        sd = np.nanstd(np.where(np.isfinite(X), X, np.nan), axis=1, keepdims=True)
-        sd = np.where(sd == 0, 1.0, sd)
-        Z = (X - mu) / sd
+        Xf = np.where(np.isfinite(X), X, np.nan)
+        mu = np.nanmean(Xf, axis=1, keepdims=True)
+        sd = np.nanstd(Xf, axis=1, keepdims=True)
+        stationary = sd < K.STAT_EPS
+        sd = np.where(stationary, 1.0, sd)
+        Z = np.where(
+            np.isfinite(X), np.where(stationary, 0.0, (X - mu) / sd), np.nan
+        )
         diff = np.where(np.isfinite(Z) & np.isfinite(qz), Z - qz, 0.0)
         return pd.Series(np.sqrt((diff * diff).sum(axis=1)))
 
+    return _euclid
+
+
+def refine_knn(
+    candidates: DataFrame,
+    series_df: DataFrame,
+    query_series: np.ndarray,
+    k: int,
+) -> DataFrame:
+    """Exact refinement: join candidates back to raw series and rank by true
+    z-normalized Euclidean distance. candidates ≪ index, so the join
+    broadcasts the candidate side. Deterministic (key, window_ts) tiebreak."""
     joined = series_df.join(
         F.broadcast(candidates.select("key", "window_ts")), ["key", "window_ts"]
     )
-    return joined.withColumn("euclid", _euclid("series")).orderBy(
-        F.col("euclid").asc()
-    ).limit(k)
+    return (
+        joined.withColumn("euclid", euclid_udf(query_series)("series"))
+        .orderBy(F.col("euclid").asc(), F.col("key").asc(), F.col("window_ts").asc())
+        .limit(k)
+    )
+
+
+def with_frame_full(df: DataFrame, w: int, n: int) -> DataFrame:
+    """Ensure a ``frame_full`` bitmask column exists.
+
+    symbolize_windows emits it natively; for ad-hoc word tables it is
+    derived JVM-side from the series column (w forall-expressions), or 0
+    when no series is stored (lower bound degrades to 0 — still valid).
+    """
+    if "frame_full" in df.columns:
+        return df
+    if "series" not in df.columns or w > 63:
+        return df.withColumn("frame_full", F.lit(0).cast("long"))
+    fs = n // w
+    bits = [
+        F.when(
+            F.forall(
+                F.slice("series", f * fs + 1, fs), lambda x: ~F.isnan(x)
+            ),
+            F.lit(1 << f).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for f in range(w)
+    ]
+    mask = bits[0]
+    for b in bits[1:]:
+        mask = mask + b
+    return df.withColumn("frame_full", mask)
+
+
+def lower_bound_scan(
+    index: DataFrame, query_series: np.ndarray, w: int, c: int
+) -> DataFrame:
+    """Annotate every (w, c)-compatible index row with ``mindist_lb`` — the
+    bound-safe lower bound of the refine distance (one Arrow pass)."""
+    q = np.asarray(query_series, dtype=np.float64)
+    qword = K.symbols_to_string(K.symbolize(q, w, c), c)
+    fs = len(q) // w
+    compat = with_frame_full(
+        index.filter((F.col("w") == w) & (F.col("c") == c)), w, len(q)
+    )
+    lb = mindist_lb_udf(qword, c, fs)(F.col("word"), F.col("frame_full"))
+    return compat.withColumn("mindist_lb", lb)
 
 
 def exact_knn(
@@ -160,35 +238,59 @@ def exact_knn(
     k: int,
     probe_factor: int = 4,
 ) -> DataFrame:
-    """Exact k-NN using the mindist lower bound for pruning (no false
-    dismissals — the classic SAX multi-step search):
+    """Exact k-NN with no false dismissals (the classic SAX multi-step
+    search, but pruned with a VALID lower bound — the reference-parity
+    mindist over-estimates whenever '#' sentinels appear and must not
+    prune; see kernel.mindist_lb_batch):
 
-      1. one vectorized mindist pass over the index,
+      1. one vectorized lower-bound pass over the index,
       2. refine the best ``probe_factor·k`` candidates to exact distance,
-      3. τ = k-th best exact distance; every row with mindist > τ is
-         provably farther than the current answer set, so refine only the
-         (rare) remaining rows with mindist ≤ τ.
+      3. τ = k-th best exact distance (∞ if fewer than k refined); every
+         row with lb > τ is provably farther than the current answer set,
+         so the final refine touches only rows with lb ≤ τ — a set that
+         provably contains the true top-k (euclid ≤ τ ⇒ lb ≤ τ).
 
-    Two Arrow passes worst case; the second touches only rows the lower
-    bound could not prune.
+    Two Arrow refine passes worst case; the second touches only rows the
+    lower bound could not prune.
     """
     q = np.asarray(query_series, dtype=np.float64)
-    qword = K.symbols_to_string(K.symbolize(q, w, c), c)
-    n = len(q)
-    scan = mindist_scan(index_with_series, qword, c, n).persist()
+    scan = lower_bound_scan(index_with_series, q, w, c).persist()
     try:
-        probe = scan.orderBy(F.col("mindist").asc()).limit(max(k * probe_factor, k))
-        probed = refine_knn(probe, index_with_series, q, max(k * probe_factor, k))
-        top = probed.orderBy(F.col("euclid").asc()).limit(k).collect()
-        if len(top) < k:
-            tau = float("inf")
-        else:
-            tau = max(r.euclid for r in top)
-        rest = scan.filter(F.col("mindist") <= tau)
-        final = refine_knn(rest, index_with_series, q, k)
-        return final
+        nprobe = max(k * probe_factor, k)
+        probe = scan.orderBy(
+            F.col("mindist_lb").asc(), F.col("key").asc(), F.col("window_ts").asc()
+        ).limit(nprobe)
+        top = refine_knn(probe, index_with_series, q, k).collect()
+        tau = max(r.euclid for r in top) if len(top) >= k else float("inf")
+        survivors = scan.filter(F.col("mindist_lb") <= tau)
+        return refine_knn(survivors, index_with_series, q, k)
     finally:
         scan.unpersist()
+
+
+def range_query_exact(
+    index_with_series: DataFrame,
+    query_series: np.ndarray,
+    w: int,
+    c: int,
+    radius: float,
+) -> DataFrame:
+    """ALL windows whose true z-normalized Euclidean distance ≤ radius.
+
+    lower-bound prune (no false dismissals: euclid ≤ r ⇒ lb ≤ r) + exact
+    refine of the survivors. Equals the brute-force scan by construction —
+    pinned by tests/test_index.py.
+    """
+    q = np.asarray(query_series, dtype=np.float64)
+    survivors = lower_bound_scan(index_with_series, q, w, c).filter(
+        F.col("mindist_lb") <= radius
+    )
+    joined = index_with_series.join(
+        survivors.select("key", "window_ts"), ["key", "window_ts"], "left_semi"
+    )
+    return joined.withColumn("euclid", euclid_udf(q)("series")).filter(
+        F.col("euclid") <= radius
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +303,9 @@ def promote_words(
     segment: int,
     hot_words: DataFrame | None = None,
     threshold: int | None = None,
+    w: int | None = None,
+    c: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Split overfull word buckets by doubling one segment's cardinality.
 
@@ -246,9 +351,13 @@ def promote_words(
 
         return _promote
 
-    # w, c, n are constant per call in our engine (fixed SaxConfig)
-    first = symbolized.select("w", "c", "n").first()
-    udf = make_udf(int(first.w), int(first.c), int(first.n))
+    # w, c, n are constant per call in our engine (fixed SaxConfig); callers
+    # pass them explicitly so no driver-side job runs mid-plan — the .first()
+    # below is only a compatibility fallback.
+    if w is None or c is None or n is None:
+        first = symbolized.select("w", "c", "n").first()
+        w, c, n = int(first.w), int(first.c), int(first.n)
+    udf = make_udf(int(w), int(c), int(n))
     return tagged.withColumn(
         "word_promoted",
         F.when(F.col("_hot"), udf(F.col("series"), F.col("word"))).otherwise(

@@ -107,6 +107,27 @@ def mindist_udf(query_word: str, c: int, n_query: int = 0, n_cand: int | None = 
     return _mind
 
 
+def mindist_lb_udf(query_word: str, c: int, fs: int):
+    """pandas UDF: (word, frame_full) → bound-safe lower bound vs the query.
+
+    Unlike the reference-parity mindist (farthest-extreme sentinel
+    substitution = over-estimate), this is a TRUE lower bound of the
+    z-normalized Euclidean refine distance — see kernel.mindist_lb_batch.
+    Used by exact kNN / exact range pruning; never by the compat surface.
+    """
+    q = K.string_to_symbols(query_word, c)
+
+    @pandas_udf(DoubleType())
+    def _lb(words: pd.Series, frame_full: pd.Series) -> pd.Series:
+        if len(words) == 0:
+            return pd.Series([], dtype=np.float64)
+        cands = _symbols_from_strings(words.to_numpy(), c)
+        ff = frame_full.to_numpy().astype(np.int64)
+        return pd.Series(K.mindist_lb_batch(q, cands, c, fs, ff))
+
+    return _lb
+
+
 def assemble_series(
     rollup: DataFrame,
     tier: str,
@@ -193,6 +214,8 @@ def symbolize_windows(
     if not clustered:
         df = df.repartition("key").sortWithinPartitions("key", "window_ts", "off")
 
+    from pyspark.sql.types import LongType
+
     key_type = rollup.schema["key"].dataType
     out_schema = ST(
         [
@@ -203,6 +226,10 @@ def symbolize_windows(
             SF("n", IntegerType()),
             SF("w", IntegerType()),
             SF("c", IntegerType()),
+            # bitmask: bit f set iff PAA frame f has every raw slot finite —
+            # the per-row metadata that makes mindist_lb a valid bound
+            # (fits a long for w <= 63; wider words store 0 = weaker bound)
+            SF("frame_full", LongType()),
         ]
     )
     pa_key = pa.string() if key_type.simpleString() == "string" else pa.int64()
@@ -215,6 +242,7 @@ def symbolize_windows(
             ("n", pa.int32()),
             ("w", pa.int32()),
             ("c", pa.int32()),
+            ("frame_full", pa.int64()),
         ]
     )
 
@@ -244,6 +272,11 @@ def symbolize_windows(
         M[widx, offs] = vals
         syms = K.symbolize_batch(M, w, c)
         words = _strings_from_symbols(syms, c)
+        if w <= 63:
+            fullf = np.isfinite(M).reshape(G, w, n // w).all(axis=2)
+            fmask = fullf @ (np.int64(1) << np.arange(w, dtype=np.int64))
+        else:
+            fmask = np.zeros(G, dtype=np.int64)
         series = pa.ListArray.from_arrays(
             pa.array(np.arange(G + 1, dtype=np.int32) * n), pa.array(M.ravel())
         )
@@ -256,6 +289,7 @@ def symbolize_windows(
                 pa.array(np.full(G, n, dtype=np.int32)),
                 pa.array(np.full(G, w, dtype=np.int32)),
                 pa.array(np.full(G, c, dtype=np.int32)),
+                pa.array(fmask.astype(np.int64)),
             ],
             schema=pa_out,
         )
