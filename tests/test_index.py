@@ -127,6 +127,92 @@ def test_knn_lower_bound_ordering(spark, corpus):
     assert len(rows) == 25
 
 
+@pytest.fixture(scope="module")
+def nan_corpus(spark):
+    """NaN-holed windows — the round-1 false-dismissal class: every word
+    carries '#' sentinels, so the reference-parity mindist over-estimates
+    and only the frame_full-aware lower bound may prune."""
+    n, w, c = 24, 12, 8
+    rng = np.random.RandomState(5)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for i in range(200):
+        s = rng.normal(size=n)
+        if i % 2 == 0:
+            holes = rng.choice(n, size=rng.randint(1, n - 4), replace=False)
+            s[holes] = np.nan
+        key, wts = f"k{i}", base + dt.timedelta(days=i)
+        series[(key, wts)] = s.copy()
+        rows.append(
+            Row(key=key, window_ts=wts,
+                word=K.symbols_to_string(K.symbolize(s, w, c), c),
+                w=w, c=c, n=n, series=[float(x) for x in s])
+        )
+    return spark.createDataFrame(rows), series
+
+
+def _true_dist(q):
+    """Reference refine metric: z-norm with population std over finite
+    values + STAT_EPS guard; positions missing on either side contribute 0."""
+    qz = q.copy()
+    qfin = np.isfinite(qz)
+    sd = qz[qfin].std()
+    qz[qfin] = 0.0 if sd < K.STAT_EPS else (qz[qfin] - qz[qfin].mean()) / sd
+
+    def d(s):
+        z = s.copy()
+        fin = np.isfinite(z)
+        sd2 = z[fin].std()
+        z[fin] = 0.0 if sd2 < K.STAT_EPS else (z[fin] - z[fin].mean()) / sd2
+        diff = np.where(fin & qfin, z - qz, 0.0)
+        return float(np.sqrt((diff * diff).sum()))
+
+    return d
+
+
+def test_exact_knn_nan_bearing_matches_brute_force(spark, nan_corpus):
+    from symtseries_spark.operators.index import exact_knn
+
+    df, series = nan_corpus
+    rng = np.random.RandomState(11)
+    q = rng.normal(size=24)
+    q[[3, 17]] = np.nan  # NaN-bearing query too
+    got = exact_knn(df, q, w=12, c=8, k=10).collect()
+    brute = sorted(_true_dist(q)(s) for s in series.values())[:10]
+    assert [r.euclid for r in got] == pytest.approx(brute, abs=1e-9)
+
+
+def test_range_query_exact_no_false_dismissals(spark, nan_corpus):
+    from symtseries_spark.operators.index import range_query_exact
+
+    df, series = nan_corpus
+    rng = np.random.RandomState(12)
+    q = rng.normal(size=24)
+    td = _true_dist(q)
+    radius = float(np.percentile([td(s) for s in series.values()], 20))
+    got = {(r.key, r.window_ts) for r in
+           range_query_exact(df, q, w=12, c=8, radius=radius).collect()}
+    brute = {kw for kw, s in series.items() if td(s) <= radius}
+    assert got == brute
+    assert got, "radius chosen to be non-vacuous"
+
+
+def test_lower_bound_is_valid(spark, nan_corpus):
+    """mindist_lb ≤ true euclid for EVERY row (the pruning guarantee)."""
+    from symtseries_spark.operators.index import euclid_udf, lower_bound_scan
+
+    df, series = nan_corpus
+    rng = np.random.RandomState(13)
+    q = rng.normal(size=24)
+    scan = lower_bound_scan(df, q, 12, 8).withColumn(
+        "euclid", euclid_udf(q)("series")
+    )
+    for r in scan.collect():
+        assert r.mindist_lb <= r.euclid + 1e-9, (
+            f"{r.key}: lb {r.mindist_lb} > euclid {r.euclid}"
+        )
+
+
 def test_promote_words_splits_hot_bucket(spark):
     # coarse alphabet c=2, w=4 → word space of 16, so random series pile up
     # in shared coarse buckets; promotion to c=4 must subdivide them.

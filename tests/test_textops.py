@@ -96,6 +96,35 @@ def test_ngram_jaccard_exact_values(spark):
         assert 0.5 < vals[(0, 2)] < 1.0
 
 
+def test_simhash_low_false_positive_rate(spark):
+    """A corpus of clearly-distinct documents must produce (near-)zero
+    Hamming-≤3 pairs — the round-1 degenerate concentration regression."""
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab, size=60)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    raw = D.simhash_dupes(df, max_hamming=3, verify_threshold=None).collect()
+    npairs = 200 * 199 // 2
+    assert len(raw) / npairs < 0.01, f"{len(raw)} FP pairs of {npairs}"
+    # with verification on, zero pairs survive (exact jaccard is low)
+    verified = D.simhash_dupes(df, max_hamming=3, verify_threshold=0.6).collect()
+    assert verified == []
+
+
+def test_minhash_udf_all_empty_batch(spark):
+    """All-empty/null text batch must not crash (round-1 IndexError)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text=""), Row(doc_id=2, text=None)]
+    )
+    sigs = df.select(D.minhash_udf()(F.col("text")).alias("sig")).collect()
+    assert len(sigs) == 3
+    assert sigs[0].sig == sigs[1].sig == sigs[2].sig
+    assert len(sigs[0].sig) == 64
+
+
 def test_simhash_dupes(spark):
     df = _dup_docs(spark)
     dupes = D.simhash_dupes(df, max_hamming=3)
