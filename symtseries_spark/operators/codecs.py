@@ -21,12 +21,18 @@ Values (XOR of consecutive float64 bit patterns):
 ENCODING IS FULLY VECTORIZED: per chunk we compute every code's (bits,
 nbits) with numpy, then scatter them into a bit matrix with one loop over
 *bit positions* (≤ 77 iterations regardless of chunk size), never a loop
-over points. Decoding is inherently sequential (each cursor position
-depends on prior control bits) and is the cold read path; it's a plain
-Python loop over a numpy bit array, used by tests and query-side decode.
+over points.
+
+DECODING IS ALSO VECTORIZED for the split-layout variants the Spark path
+writes ("gorilla-s"/"dod-s"): control bits, headers and payloads live in
+separate sections, so every field offset is a prefix sum and a whole Arrow
+batch of chunks decodes in one numpy pass (≤64 bit-position gathers + one
+np.bitwise_xor.accumulate / two segmented cumsums). The interleaved
+paper-faithful streams ("gorilla"/"dod") keep the sequential _BitReader
+decoder — they exist for format parity and tests.
 
 Spark surface: encode_chunks() packs each (key, tier) bucket run into one
-BinaryType blob row via applyInPandas; decode_chunks_udf() restores rows.
+BinaryType blob row via mapInArrow; decode_chunks() restores rows.
 """
 
 from __future__ import annotations
@@ -350,6 +356,235 @@ def encode_values(vals: np.ndarray) -> bytes:
     return _pack_codes(all_bits, all_nbits)
 
 
+# ---------------------------------------------------------------------------
+# split-layout codecs ("gorilla-s" / "dod-s"): same code values as the
+# interleaved streams, but control bits, headers and payloads live in
+# SEPARATE sections, so decoding is data-parallel — every offset is a
+# prefix-sum away instead of a sequential cursor walk. This is what makes
+# the query-side read path fully vectorizable across a whole Arrow batch
+# of chunks (the interleaved Gorilla stream is inherently sequential).
+#
+# gorilla-s layout (bit-packed, no alignment between sections):
+#   [u0: 64b] [ctrl: (n-1) × 1b nonzero-xor flags]
+#   [headers: K × 11b (5b lz | 6b mlen-1)] [payloads: K × mlen bits]
+# dod-s layout:
+#   [ts0: 64b] [delta0: 64b, n ≥ 2 only] [ctrl: (n-2) × 3b class]
+#   [payloads: class widths 0/7/9/12/64 bits]
+# ---------------------------------------------------------------------------
+
+_DOD_S_WIDTH = np.array([0, 7, 9, 12, 64], dtype=np.int64)
+_DOD_S_LO = np.array([0, -63, -255, -2047, 0], dtype=np.int64)
+
+
+def _codes_values_split(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """gorilla-s code arrays (bits, nbits) for ONE chunk."""
+    u = np.ascontiguousarray(np.asarray(vals, dtype=np.float64)).view(np.uint64)
+    n = len(u)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    if n == 1:
+        return u[:1].copy(), np.array([64], dtype=np.int64)
+    xor = u[1:] ^ u[:-1]
+    nz = xor != 0
+    lznz = np.minimum(_clz64(xor[nz]), 31)
+    tznz = np.minimum(_ctz64(xor[nz]), 63)
+    mlen = np.maximum(64 - lznz - tznz, 1)
+    header = (lznz.astype(np.uint64) << np.uint64(6)) | (mlen - 1).astype(np.uint64)
+    payload = xor[nz] >> tznz.astype(np.uint64)
+    K = int(nz.sum())
+    m = n - 1
+    bits = np.empty(1 + m + 2 * K, dtype=np.uint64)
+    nbits = np.empty(1 + m + 2 * K, dtype=np.int64)
+    bits[0], nbits[0] = u[0], 64
+    bits[1 : 1 + m] = nz.astype(np.uint64)
+    nbits[1 : 1 + m] = 1
+    bits[1 + m : 1 + m + K] = header
+    nbits[1 + m : 1 + m + K] = 11
+    bits[1 + m + K :] = payload
+    nbits[1 + m + K :] = mlen
+    return bits, nbits
+
+
+def _codes_timestamps_split(ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """dod-s code arrays (bits, nbits) for ONE chunk."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    head = ts[0:1].astype(np.uint64)
+    if n == 1:
+        return head.copy(), np.array([64], dtype=np.int64)
+    d = np.diff(ts)
+    dod = np.diff(d)
+    m = len(dod)
+    cls = np.full(m, 4, dtype=np.int64)
+    cls[(dod >= -2047) & (dod <= 2048)] = 3
+    cls[(dod >= -255) & (dod <= 256)] = 2
+    cls[(dod >= -63) & (dod <= 64)] = 1
+    cls[dod == 0] = 0
+    width = _DOD_S_WIDTH[cls]
+    payload = np.where(
+        cls == 4, dod.view(np.uint64), (dod - _DOD_S_LO[cls]).astype(np.uint64)
+    )
+    hasp = width > 0
+    bits = np.concatenate(
+        [head, d[0:1].view(np.uint64), cls.astype(np.uint64), payload[hasp]]
+    )
+    nbits = np.concatenate(
+        [[64, 64], np.full(m, 3, dtype=np.int64), width[hasp]]
+    )
+    return bits, nbits
+
+
+def _seg_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]) ++ [0..lens[1]) ... as one array (no Python loop)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    heads = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(heads, lens)
+
+
+def _gather_bits(bits: np.ndarray, starts: np.ndarray, nbits: np.ndarray) -> np.ndarray:
+    """Vectorized variable-width big-endian field extraction: loop over bit
+    POSITIONS (≤ max(nbits) iterations), never over fields."""
+    out = np.zeros(len(starts), dtype=np.uint64)
+    maxb = int(nbits.max()) if len(nbits) else 0
+    for b in range(maxb):
+        m = nbits > b
+        out[m] |= bits[starts[m] + b].astype(np.uint64) << (
+            nbits[m] - 1 - b
+        ).astype(np.uint64)
+    return out
+
+
+def _seg_cumsum(a: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-segment inclusive cumsum via one global cumsum + base subtraction.
+
+    Empty segments are fine: their (possibly out-of-range) start index is
+    clipped and contributes zero repeats.
+    """
+    if len(a) == 0:
+        return np.asarray(a).copy()
+    c = np.cumsum(a)
+    s = np.minimum(np.asarray(starts, dtype=np.int64), len(a) - 1)
+    base = np.repeat(c[s] - a[s], lens)
+    return c - base
+
+
+def decode_values_split_batch(
+    payloads: list[bytes], n_points: np.ndarray
+) -> np.ndarray:
+    """Decode MANY gorilla-s chunks in one vectorized pass.
+
+    Returns the concatenated float64 values (Σ n_points long). All offsets
+    are prefix sums over the ctrl sections; the XOR-prefix undo is one
+    np.bitwise_xor.accumulate with per-chunk base correction.
+    """
+    n_points = np.asarray(n_points, dtype=np.int64)
+    nchunks = len(payloads)
+    if nchunks == 0:
+        return np.empty(0, dtype=np.float64)
+    byte_lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    bit_off = np.concatenate([[0], np.cumsum(byte_lens)[:-1]]) * 8
+    blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    bits = np.unpackbits(blob)
+
+    u0 = _gather_bits(bits, bit_off, np.full(nchunks, 64, dtype=np.int64))
+
+    m = n_points - 1  # ctrl flags per chunk
+    ctrl_starts = bit_off + 64
+    ctrl_idx = np.repeat(ctrl_starts, m) + _seg_arange(m)
+    flags = bits[ctrl_idx].astype(np.int64)
+    seg_heads = np.concatenate([[0], np.cumsum(m)[:-1]])
+    K = np.zeros(nchunks, dtype=np.int64)
+    ne = m > 0
+    if ne.any():
+        # reduceat needs valid starts; compute on the nonempty segments
+        K[ne] = np.add.reduceat(flags, seg_heads[ne]) if flags.size else 0
+        # reduceat folds an empty trailing segment into the previous one only
+        # when starts repeat — seg_heads of empty segments equal the next
+        # head; restricting to nonempty segments avoids that entirely.
+
+    hdr_base = bit_off + 64 + m  # header section start per chunk
+    chunk_of_flag = np.repeat(np.arange(nchunks), m)
+    nz = flags == 1
+    j_in_chunk = (_seg_cumsum(flags, seg_heads, m) - 1)[nz]
+    chunk_nz = chunk_of_flag[nz]
+    hdr_pos = hdr_base[chunk_nz] + 11 * j_in_chunk
+    hdr = _gather_bits(bits, hdr_pos, np.full(len(hdr_pos), 11, dtype=np.int64))
+    lz = (hdr >> np.uint64(6)).astype(np.int64)
+    mlen = (hdr & np.uint64(63)).astype(np.int64) + 1
+    tz = 64 - lz - mlen
+
+    pay_base = hdr_base + 11 * K
+    nz_heads = np.concatenate([[0], np.cumsum(K)[:-1]])
+    pay_off = _seg_cumsum(mlen, nz_heads, K) - mlen  # exclusive per chunk
+    pay_pos = pay_base[chunk_nz] + pay_off
+    payload = _gather_bits(bits, pay_pos, mlen)
+    xor = payload << tz.astype(np.uint64)
+
+    total = int(n_points.sum())
+    arr = np.zeros(total, dtype=np.uint64)
+    out_starts = np.concatenate([[0], np.cumsum(n_points)[:-1]])
+    arr[out_starts] = u0
+    point_idx = np.repeat(out_starts + 1, m) + _seg_arange(m)
+    arr[point_idx[nz]] = xor
+    acc = np.bitwise_xor.accumulate(arr)
+    prev = np.concatenate([[np.uint64(0)], acc[:-1]])
+    base = np.repeat(prev[out_starts], n_points)
+    return (acc ^ base).view(np.float64)
+
+
+def decode_timestamps_split_batch(
+    payloads: list[bytes], n_points: np.ndarray
+) -> np.ndarray:
+    """Decode MANY dod-s chunks in one vectorized pass → int64 µs array."""
+    n_points = np.asarray(n_points, dtype=np.int64)
+    nchunks = len(payloads)
+    if nchunks == 0:
+        return np.empty(0, dtype=np.int64)
+    byte_lens = np.array([len(p) for p in payloads], dtype=np.int64)
+    bit_off = np.concatenate([[0], np.cumsum(byte_lens)[:-1]]) * 8
+    blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    bits = np.unpackbits(blob)
+
+    W64 = np.full(nchunks, 64, dtype=np.int64)
+    ts0 = _gather_bits(bits, bit_off, W64).view(np.int64)
+    multi = n_points >= 2
+    d0 = np.zeros(nchunks, dtype=np.int64)
+    if multi.any():
+        d0[multi] = _gather_bits(
+            bits, (bit_off + 64)[multi], W64[multi]
+        ).view(np.int64)
+
+    m = np.maximum(n_points - 2, 0)  # dod entries per chunk
+    ctrl_starts = bit_off + np.where(multi, 128, 64)
+    ctrl_idx = np.repeat(ctrl_starts, m) + 3 * _seg_arange(m)
+    cls = np.zeros(len(ctrl_idx), dtype=np.int64)
+    for b in range(3):
+        cls = (cls << 1) | bits[ctrl_idx + b]
+    width = _DOD_S_WIDTH[cls]
+    seg_heads = np.concatenate([[0], np.cumsum(m)[:-1]])
+    pay_base = ctrl_starts + 3 * m
+    chunk_of = np.repeat(np.arange(nchunks), m)
+    pay_off = _seg_cumsum(width, seg_heads, m) - width
+    payload = _gather_bits(bits, pay_base[chunk_of] + pay_off, width)
+    dod = np.where(
+        cls == 4, payload.view(np.int64), payload.astype(np.int64) + _DOD_S_LO[cls]
+    )
+
+    # deltas: per chunk [d0, d0+dod1, ...]; timestamps: ts0 + cumsum(deltas)
+    total = int(n_points.sum())
+    out_starts = np.concatenate([[0], np.cumsum(n_points)[:-1]])
+    deltas = np.zeros(total, dtype=np.int64)
+    second = (out_starts + 1)[multi]
+    deltas[second] = d0[multi]
+    dod_idx = np.repeat(out_starts + 2, m) + _seg_arange(m)
+    deltas[dod_idx] = dod
+    deltas = _seg_cumsum(deltas, out_starts, n_points)
+    # now deltas[i] = delta at point i (0 at the chunk head)
+    ts = _seg_cumsum(deltas, out_starts, n_points)
+    return ts + np.repeat(ts0, n_points)
+
+
 def decode_values(data: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.array([], dtype=np.float64)
@@ -476,8 +711,12 @@ def encode_chunks(
         change[1:] = key_neq | (chunks[1:] != chunks[:-1])
         starts = np.nonzero(change)[0]
         ends = np.append(starts[1:], n_rows)
-        ts_codes = [_codes_timestamps(ts_all[s:e]) for s, e in zip(starts, ends)]
-        val_codes = [_codes_values_vec(v_all[s:e]) for s, e in zip(starts, ends)]
+        ts_codes = [
+            _codes_timestamps_split(ts_all[s:e]) for s, e in zip(starts, ends)
+        ]
+        val_codes = [
+            _codes_values_split(v_all[s:e]) for s, e in zip(starts, ends)
+        ]
         g = len(starts)
         yield pa.RecordBatch.from_arrays(
             [
@@ -485,8 +724,8 @@ def encode_chunks(
                 pa.array([tier] * g, pa.string()),
                 pa.array(ts_all[starts], pa.timestamp("us")),
                 pa.array((ends - starts).astype(np.int32), pa.int32()),
-                pa.array(["dod"] * g, pa.string()),
-                pa.array(["gorilla"] * g, pa.string()),
+                pa.array(["dod-s"] * g, pa.string()),
+                pa.array(["gorilla-s"] * g, pa.string()),
                 pa.array(_pack_groups(ts_codes), pa.binary()),
                 pa.array(_pack_groups(val_codes), pa.binary()),
             ],
@@ -508,13 +747,45 @@ def decoded_schema(key_type) -> StructType:
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:
-    """Inverse of encode_chunks: blob rows → (key, tier, bucket_ts, value)."""
+    """Inverse of encode_chunks: blob rows → (key, tier, bucket_ts, value).
+
+    Split-layout chunks ("gorilla-s"/"dod-s", the formats encode_chunks
+    writes) decode FULLY VECTORIZED: one numpy pass per Arrow batch covers
+    every chunk in the batch (prefix-sum offsets + ≤64 bit-position gathers
+    + one xor-scan), so the query-side read path has no per-point or
+    per-chunk Python. Legacy interleaved formats ("gorilla"/"dod") fall
+    back to the sequential reader row by row.
+    """
     schema = decoded_schema(chunks.schema["key"].dataType)
 
     def _decode(it):
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             outs = []
-            for row in pdf.itertuples(index=False):
+            split = (pdf["val_codec"] == "gorilla-s") & (
+                pdf["ts_codec"] == "dod-s"
+            )
+            sp = pdf[split]
+            if len(sp):
+                ns = sp["n_points"].to_numpy().astype(np.int64)
+                vals = decode_values_split_batch(
+                    [bytes(p) for p in sp["val_payload"]], ns
+                )
+                ts = decode_timestamps_split_batch(
+                    [bytes(p) for p in sp["ts_payload"]], ns
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "key": np.repeat(sp["key"].to_numpy(), ns),
+                            "tier": np.repeat(sp["tier"].to_numpy(), ns),
+                            "bucket_ts": pd.to_datetime(ts, unit="us"),
+                            "value": vals,
+                        }
+                    )
+                )
+            for row in pdf[~split].itertuples(index=False):
                 ts = decode_timestamps(row.ts_payload, row.n_points)
                 vals = decode_values(row.val_payload, row.n_points)
                 outs.append(

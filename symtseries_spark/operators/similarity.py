@@ -174,6 +174,83 @@ def ivf_topk(
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+# ---------------------------------------------------------------------------
+# stored (index-shaped) ANN: bucket/cell assignment is precomputed at BUILD
+# time and the table is written partitioned by it, so a query is partition
+# pruning + a rerank of one bucket's worth of vectors — never a corpus scan.
+# ---------------------------------------------------------------------------
+
+
+def build_srp_index(
+    emb: DataFrame, path: str, vec_col: str = "embedding",
+    id_col: str = "vec_id", bits: int = 8, seed: int = 7, tables: int = 4,
+) -> None:
+    """Materialize an L-table SRP index: one row per (table, vector),
+    written partitioned by (table, bucket).
+
+    Storage is ``tables``× the corpus (the classic L-table LSH tradeoff);
+    at query time only the probed (table, bucket) directories are read —
+    the assignment UDF never runs over the corpus again.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    b = emb.select(
+        id_col,
+        vec_col,
+        F.posexplode(srp_udf(dim, bits, seed, tables)(F.col(vec_col))).alias(
+            "table", "bucket"
+        ),
+    )
+    b.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark, path: str, query_vec, k: int, vec_col: str = "embedding",
+    id_col: str = "vec_id", bits: int = 8, seed: int = 7, tables: int = 4,
+) -> DataFrame:
+    """ANN top-k against a stored SRP index.
+
+    The probe set (own bucket + 1-bit flips per table) is computed
+    driver-side from the query alone; the scan filter is on PARTITION
+    columns, so Spark prunes to ~(bits+1)·tables directories out of
+    tables·2^bits — the plan shows PartitionFilters, no UDF over the
+    corpus. Duplicated candidates across tables collapse before rerank.
+    """
+    probes = srp_buckets_of(query_vec, bits, seed, tables)
+    idx = spark.read.parquet(path)
+    cond = None
+    for t in range(tables):
+        c = (F.col("table") == t) & F.col("bucket").isin(probes[t])
+        cond = c if cond is None else (cond | c)
+    cand = idx.filter(cond).select(id_col, vec_col).dropDuplicates([id_col])
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def build_ivf_index(
+    emb: DataFrame, path: str, centroids: np.ndarray,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> None:
+    """Materialize an IVF index: vectors written partitioned by their
+    nearest-centroid cell (assignment runs ONCE, at build)."""
+    assigned = emb.select(
+        id_col, vec_col, assign_udf(centroids)(F.col(vec_col)).alias("cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark, path: str, query_vec, k: int, centroids: np.ndarray,
+    nprobe: int = 3, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a stored IVF index: probe the nprobe nearest cells
+    via partition pruning, exact-rerank their contents."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    cells = [int(x) for x in np.argsort(-(centroids @ q))[:nprobe]]
+    idx = spark.read.parquet(path)
+    cand = idx.filter(F.col("cell").isin(cells)).select(id_col, vec_col)
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_dupes(
     emb: DataFrame, threshold: float = 0.95, vec_col: str = "embedding",
     id_col: str = "vec_id", bits: int = 12, seed: int = 7,

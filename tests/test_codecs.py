@@ -81,7 +81,7 @@ def test_spark_chunk_round_trip(spark):
     rollup = spark.createDataFrame(rows)
     chunks = C.encode_chunks(rollup, "1m", "text_len_avg", chunk_points=64)
     cl = chunks.collect()
-    assert all(r.ts_codec == "dod" and r.val_codec == "gorilla" for r in cl)
+    assert all(r.ts_codec == "dod-s" and r.val_codec == "gorilla-s" for r in cl)
     assert sum(r.n_points for r in cl) == len(rows)
     decoded = C.decode_chunks(chunks)
     got = {
@@ -111,3 +111,44 @@ def test_values_vec_round_trip_property():
         assert np.array_equal(
             dec.view(np.uint64), np.ascontiguousarray(vals).view(np.uint64)
         )
+
+
+def test_split_codecs_batch_round_trip_property():
+    """gorilla-s / dod-s: many mixed-shape chunks decode in ONE vectorized
+    pass and round-trip exactly (incl. single-point, constant, huge-jump)."""
+    from symtseries_spark.operators.codecs import (
+        _codes_timestamps_split,
+        _codes_values_split,
+        _pack_groups,
+        decode_timestamps_split_batch,
+        decode_values_split_batch,
+    )
+
+    rng = np.random.RandomState(7)
+    vchunks = []
+    for n in [1, 2, 3, 17, 256, 1440]:
+        v = rng.normal(size=n) * rng.choice([1.0, 1e7, 1e-7])
+        v[rng.rand(n) < 0.4] = v[0]  # repeats exercise the xor==0 path
+        vchunks.append(v)
+    vchunks.append(np.full(64, -2.5))
+    vchunks.append(np.array([0.0]))
+    vp = _pack_groups([_codes_values_split(v) for v in vchunks])
+    ns = np.array([len(v) for v in vchunks])
+    got = decode_values_split_batch(vp, ns)
+    assert np.array_equal(got, np.concatenate(vchunks))
+
+    base = 1_700_000_000_000_000
+    tchunks = []
+    for n in [1, 2, 5, 500]:
+        deltas = rng.choice(
+            [60_000_000] * 8 + [120_000_000, 3_600_000_000, 61_234_567],
+            size=max(n - 1, 0),
+        )
+        tchunks.append(
+            (base + np.concatenate([[0], np.cumsum(deltas)]))[:n].astype(np.int64)
+        )
+    tchunks.append(np.array([0, 10**15, 10**15 + 1, 2 * 10**15], dtype=np.int64))
+    tp = _pack_groups([_codes_timestamps_split(t) for t in tchunks])
+    tn = np.array([len(t) for t in tchunks])
+    tgot = decode_timestamps_split_batch(tp, tn)
+    assert np.array_equal(tgot, np.concatenate(tchunks))

@@ -148,6 +148,75 @@ def _brute_topk_py(emb_rows, q, k):
     return [(int(ids[i]), float(cos[i])) for i in order]
 
 
+def test_stored_ann_recall_on_clustered_data(spark, tmp_path):
+    """Index-shaped ANN (stored, partition-pruned) hits high recall on
+    clustered data — the regime real embeddings live in."""
+    rng = np.random.RandomState(4)
+    centers = rng.normal(size=(10, 32))
+    rows = []
+    for i in range(400):
+        c = i % 10
+        v = centers[c] + rng.normal(scale=0.15, size=32)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    q = rows[7].embedding
+    want = {r.vec_id for r in S.brute_force_topk(df, q, 10).collect()}
+
+    srp = str(tmp_path / "srp")
+    S.build_srp_index(df, srp, bits=8, tables=8)
+    got_lsh = {
+        r.vec_id
+        for r in S.lsh_topk_indexed(spark, srp, q, 10, bits=8, tables=8).collect()
+    }
+    assert len(got_lsh & want) / 10 >= 0.9
+
+    cents = S.train_centroids(df, n_centroids=10, sample=1.0)
+    ivf = str(tmp_path / "ivf")
+    S.build_ivf_index(df, ivf, cents)
+    got_ivf = {
+        r.vec_id
+        for r in S.ivf_topk_indexed(spark, ivf, q, 10, cents, nprobe=3).collect()
+    }
+    assert len(got_ivf & want) / 10 >= 0.9
+
+
+def test_stored_ann_recall_on_testdata(spark, tmp_path):
+    """recall@10 floor vs the oracled brute-force top-k on the actual
+    embeddings table (near-random vectors — the ANN worst case)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 3).first().embedding
+    want = {r.vec_id for r in S.brute_force_topk(emb, q, 10).collect()}
+    srp = str(tmp_path / "srp")
+    S.build_srp_index(emb, srp, tables=16)
+    got = {
+        r.vec_id
+        for r in S.lsh_topk_indexed(spark, srp, q, 10, tables=16).collect()
+    }
+    assert len(got & want) / 10 >= 0.7
+
+
+def test_stored_ann_plans_prune_partitions(spark, tmp_path):
+    """The stored-index query plans must show PartitionFilters (pruned
+    directory scan), not a full-corpus UDF pass."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 3).first().embedding
+    srp = str(tmp_path / "srp")
+    S.build_srp_index(emb, srp, tables=4)
+    plan = (
+        S.lsh_topk_indexed(spark, srp, q, 10, tables=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [(((" in plan or "PartitionFilters: [((" in plan
+    cents = S.train_centroids(emb, n_centroids=4, sample=1.0)
+    ivf = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, ivf, cents)
+    plan2 = (
+        S.ivf_topk_indexed(spark, ivf, q, 10, cents, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [cell" in plan2
+
+
 def test_brute_force_topk_matches_numpy(spark, emb):
     rows = emb.collect()
     q = rows[7].embedding
