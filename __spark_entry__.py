@@ -313,6 +313,38 @@ def q_promote_hot_words(spark, sf_dir):
     )
 
 
+def q_promoted_lookup(spark, sf_dir):
+    """iSAX 2.0 sub-bucket descent: exact-word lookup that, for hot (split)
+    buckets, touches only the sub-bucket matching the query's finer 2c
+    segment letter. Probe = the corpus's hottest daily word shape."""
+    import numpy as np
+
+    from symtseries_spark.operators.index import promoted_lookup
+
+    words = _daily_words(spark, sf_dir).persist()
+    # probe = a member of the corpus's hottest word bucket, so the lookup
+    # demonstrably descends into a split bucket (non-vacuous at every SF)
+    hot = (
+        words.groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .first()
+    )
+    probe = (
+        words.filter(F.col("word") == hot.word)
+        .orderBy("key", "window_ts")
+        .select("series")
+        .first()
+    )
+    qs = np.array(probe.series, dtype=float)
+    # split on the hot word's first REAL segment — re-symbolizing a '#'
+    # (all-missing) frame at 2c yields '#' again, which wouldn't subdivide
+    seg = next((i for i, ch in enumerate(hot.word) if ch != "#"), 0)
+    return promoted_lookup(
+        words, qs, w=12, c=8, n=24, segment=seg, threshold=20
+    ).select("key", "window_ts", "word", "word_promoted")
+
+
 def q_minhash_dupes_docs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return D.minhash_lsh_dupes(docs, threshold=0.5).select(
@@ -667,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mindist_topk_daily": q_mindist_topk_daily,
         "isax_range_daily": q_isax_range_daily,
         "promote_hot_words": q_promote_hot_words,
+        "promoted_lookup": q_promoted_lookup,
         "minhash_dupes_docs": q_minhash_dupes_docs,
         "simhash_dupes_docs": q_simhash_dupes_docs,
         "doc_fingerprints": q_doc_fingerprints,

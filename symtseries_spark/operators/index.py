@@ -293,6 +293,46 @@ def range_query_exact(
     )
 
 
+def promoted_query_word(
+    query_series: np.ndarray, w: int, c: int, segment: int
+) -> tuple[str, str]:
+    """(base word, promoted word) for a query series: the promoted form has
+    ``segment`` re-symbolized at cardinality 2c (lowercase-tagged), matching
+    promote_words' split convention."""
+    q = np.asarray(query_series, dtype=np.float64)
+    base = K.symbols_to_string(K.symbolize(q, w, c), c)
+    fine = K.symbols_to_string(
+        K.symbolize(q, w, 2 * c)[segment : segment + 1], 2 * c
+    ).lower()
+    return base, base[:segment] + fine + base[segment + 1 :]
+
+
+def promoted_lookup(
+    symbolized: DataFrame,
+    query_series: np.ndarray,
+    w: int,
+    c: int,
+    n: int,
+    segment: int = 0,
+    threshold: int = 20,
+) -> DataFrame:
+    """Exact-word lookup that DESCENDS into promoted sub-buckets (the point
+    of iSAX 2.0 splitting, reference TODO symtseries.h:32): cold buckets
+    match on the base word; hot (split) buckets additionally require the
+    query's finer 2c segment letter — so a hot bucket's lookup touches only
+    ~1/2 of its rows instead of the whole overfull bucket.
+    """
+    qword, qprom = promoted_query_word(query_series, w, c, segment)
+    promoted = promote_words(
+        symbolized, segment, threshold=threshold, w=w, c=c, n=n
+    )
+    in_bucket = promoted.filter(F.col("word") == qword)
+    return in_bucket.filter(
+        (F.col("word_promoted") == F.col("word"))  # cold: whole bucket
+        | (F.col("word_promoted") == qprom)  # hot: matching sub-bucket
+    )
+
+
 # ---------------------------------------------------------------------------
 # iSAX 2.0 per-segment cardinality promotion
 # ---------------------------------------------------------------------------

@@ -89,6 +89,16 @@ def run_pipeline(
     t1m = t1m.repartition("key")
     CP.write_partitioned(t1m, rollup_path, "1m", sort_within=("key", "bucket_ts"))
     _t = _mark("write_1m", _t)
+    # clustered=True contract: the writer put each key in exactly ONE file
+    # (hash repartition) with rows time-sorted, so a read split that holds
+    # whole files keeps every (key, window/chunk) run contiguous. Spark
+    # would happily SPLIT a large file at a row-group boundary mid-key,
+    # silently yielding partial windows (NaN frames → wrong '#' words) and
+    # duplicate chunk ids — so pin splits to whole files for the consumer
+    # reads. Coalescing several whole files into one split stays safe (keys
+    # never span files). On a warehouse this is the bucketed-table property.
+    _old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 40))
     t1m_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1m")
 
     # The cascade chain, symbolization, and chunk encoding are independent
@@ -123,6 +133,10 @@ def run_pipeline(
         futures = [pool.submit(f) for f in (_cascades, _index, _chunks)]
         for fut in futures:
             fut.result()
+    if _old_mpb is None:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    else:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
     _t = _mark("consumers_concurrent", _t)
 
     # counts read parquet footers — metadata-only jobs

@@ -213,6 +213,53 @@ def test_lower_bound_is_valid(spark, nan_corpus):
         )
 
 
+def test_promoted_lookup_descends_into_subbucket(spark):
+    """Lookup law: result ⊆ base-word bucket; for hot buckets only rows
+    whose finer 2c segment letter matches the query's survive; cold-bucket
+    rows pass through untouched."""
+    from symtseries_spark.operators.index import (
+        promoted_lookup,
+        promoted_query_word,
+    )
+
+    n, w, c = 16, 4, 2
+    rng = np.random.RandomState(3)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        s = rng.normal(size=n)
+        rows.append(
+            Row(key=f"k{i}", window_ts=base + dt.timedelta(hours=i),
+                word=str(K.Word.from_series(s, w, c)), w=w, c=c, n=n,
+                series=[float(x) for x in s])
+        )
+    df = spark.createDataFrame(rows)
+    # probe the corpus's hottest bucket so the descend path is exercised
+    from collections import Counter
+
+    hot_word = Counter(r.word for r in rows).most_common(1)[0][0]
+    q = np.array(next(r.series for r in rows if r.word == hot_word))
+    qword, qprom = promoted_query_word(q, w, c, segment=0)
+    got = promoted_lookup(df, q, w, c, n, segment=0, threshold=10).collect()
+    bucket = df.filter(F.col("word") == qword)
+    nbucket = bucket.count()
+    assert got, "query word should hit a populated coarse bucket"
+    assert all(r.word == qword for r in got)
+    if nbucket > 10:  # hot: the lookup must touch a strict sub-bucket
+        assert len(got) < nbucket
+        assert all(r.word_promoted == qprom for r in got)
+        # every returned row's series really re-symbolizes to the query's
+        # finer segment letter at 2c (cold buckets pass through whole, so
+        # this law only binds split buckets)
+        for r in got[:20]:
+            fine = K.symbols_to_string(
+                K.symbolize(np.array(r.series), w, 2 * c)[0:1], 2 * c
+            ).lower()
+            assert fine == qprom[0]
+    else:
+        assert len(got) == nbucket  # cold bucket returned untouched
+
+
 def test_promote_words_splits_hot_bucket(spark):
     # coarse alphabet c=2, w=4 → word space of 16, so random series pile up
     # in shared coarse buckets; promotion to c=4 must subdivide them.
