@@ -4,9 +4,13 @@ entry()      — flagship pipeline on sf0.001: events → rollup cascade →
                iSAX words → mindist kNN.
 queries()    — one entry per implemented operator (SURVEY.md §2); each
                callable takes (spark, sf_dir) and returns a DataFrame.
-oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
-               Non-SQL-expressible ops (symbolization, mindist, LSH,
-               promotion) are registered without an oracle → rows-only.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query,
+               INCLUDING the iSAX surface: symbolization (a recursive-CTE
+               replay of the reference's Welford recurrence — bit-exact),
+               mindist top-k (dist-table cells as literals), exact kNN and
+               exact range (z-normalized Euclid over assembled windows).
+               Genuinely non-SQL ops (LSH candidates, promotion, ANN
+               probes, media decode) stay rows-only.
 
 Column aliases match between Spark and SQL exactly; float aggregates are
 rounded on BOTH sides (6 dp for small-group sums/avgs, 2 dp for corpus-wide
@@ -694,10 +698,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_rank_by_activity": q_user_rank_by_activity,
         "event_type_strings": q_event_type_strings,
         "user_type_sets": q_user_type_sets,
-        # rows-only (no faithful DuckDB expression)
+        # iSAX surface — oracle-checked via DuckDB replays of the kernel
         "sax_words_daily": q_sax_words_daily,
         "mindist_topk_daily": q_mindist_topk_daily,
         "isax_range_daily": q_isax_range_daily,
+        "exact_knn_daily": q_exact_knn_daily,
+        # rows-only (no faithful DuckDB expression)
         "promote_hot_words": q_promote_hot_words,
         "promoted_lookup": q_promoted_lookup,
         "minhash_dupes_docs": q_minhash_dupes_docs,
@@ -707,7 +713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        "exact_knn_daily": q_exact_knn_daily,
         "media_features": q_media_features,
     }
 

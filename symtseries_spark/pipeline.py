@@ -37,6 +37,19 @@ from symtseries_spark.operators.skew import salted_rollup
 from symtseries_spark.operators.symbolize import symbolize_windows
 
 
+def _footer_rows(path: str) -> int:
+    """Row count from parquet footers (driver-side walk, no Spark job)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for fp in glob.iglob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        total += pq.ParquetFile(fp).metadata.num_rows
+    return total
+
+
 def run_pipeline(
     spark: SparkSession,
     crawl: DataFrame,
@@ -108,11 +121,13 @@ def run_pipeline(
     # with the others' compute, exactly like a multi-tenant cluster keeps
     # executors busy across jobs.
     def _cascades():
-        t1h = rollup_cascade(t1m_r, "1h")
+        # the 1h tier is ~1/60 of 1m — keep it in memory across the write so
+        # the 1d cascade starts immediately instead of re-reading the sink
+        t1h = rollup_cascade(t1m_r, "1h").persist()
         CP.write_partitioned(t1h, rollup_path, "1h")
-        t1h_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1h")
-        t1d = rollup_cascade(t1h_r, "1d")
+        t1d = rollup_cascade(t1h, "1d")
         CP.write_partitioned(t1d, rollup_path, "1d")
+        t1h.unpersist()
 
     def _index():
         sym = symbolize_windows(
@@ -129,8 +144,26 @@ def run_pipeline(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    def _in_pool(name, fn):
+        # one FAIR pool per consumer: with spark.scheduler.mode=FAIR the
+        # root schedules POOLS fairly, but same-pool jobs still queue FIFO —
+        # distinct pools are what let the three consumers' stages interleave
+        # and fill each other's stage-transition bubbles.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
     with ThreadPoolExecutor(3) as pool:
-        futures = [pool.submit(f) for f in (_cascades, _index, _chunks)]
+        futures = [
+            pool.submit(_in_pool, name, f)
+            for name, f in (
+                ("cascades", _cascades),
+                ("index", _index),
+                ("chunks", _chunks),
+            )
+        ]
         for fut in futures:
             fut.result()
     if _old_mpb is None:
@@ -139,13 +172,13 @@ def run_pipeline(
         spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
     _t = _mark("consumers_concurrent", _t)
 
-    # counts read parquet footers — metadata-only jobs
-    rollup_all = spark.read.parquet(rollup_path)
-    n1m = rollup_all.filter("tier='1m'").count()
-    n1h = rollup_all.filter("tier='1h'").count()
-    n1d = rollup_all.filter("tier='1d'").count()
-    nwords = spark.read.parquet(f"{out_dir}/index").count()
-    nchunks = spark.read.parquet(f"{out_dir}/chunks").count()
+    # counts read parquet footers directly on the driver (pyarrow) — zero
+    # Spark jobs, so the metric's fixed tail doesn't grow with job count
+    n1m = _footer_rows(f"{rollup_path}/tier=1m")
+    n1h = _footer_rows(f"{rollup_path}/tier=1h")
+    n1d = _footer_rows(f"{rollup_path}/tier=1d")
+    nwords = _footer_rows(f"{out_dir}/index")
+    nchunks = _footer_rows(f"{out_dir}/chunks")
     _t = _mark("counts", _t)
 
     if checkpoint_path:

@@ -30,7 +30,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # big Arrow batches: the vectorized UDF kernels (symbolize, encode,
+        # signatures) amortize their per-batch numpy setup over 64k rows
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # FAIR scheduling lets concurrently-submitted jobs (the pipeline's
+        # cascade/index/chunks consumers) interleave tasks, filling the
+        # stage-transition bubbles that FIFO leaves idle at high core counts
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -104,16 +104,25 @@ def stateful_words(
     key_col: str = "key",
     ts_col: str = "ts",
     value_col: str = "value",
+    emit: str = "batch",
 ) -> DataFrame:
     """Per-key sliding-window SAX word maintained as streaming state.
 
     Mirrors reference semantics: a fresh window is all-NaN (word all '#'),
-    appends evict the oldest value, the word is recomputed over the ring
-    after each batch (we recompute once per micro-batch instead of once per
-    value — same final word, reference law window == batch, see
-    tests/test_kernel.py::test_window_equals_batch_law).
+    appends evict the oldest value, the word is recomputed over the ring.
+
+    emit="batch"  — one row per (key, micro-batch) with the word after the
+      batch's appends (reference law window == batch).
+    emit="append" — one row per APPENDED VALUE: the word after every single
+      append, exactly what the reference's ``sts_append_value`` returns
+      (symtseries.c:481-492; lua_sax.c:155-174). Vectorized: the per-append
+      rings are one sliding_window_view over [state ‖ batch values] and one
+      kernel.symbolize_batch call — no per-value Python.
     """
     K.validate_nwc(n, w, c)
+    if emit not in ("batch", "append"):
+        raise ValueError(f"emit must be 'batch' or 'append', got {emit!r}")
+    per_append = emit == "append"
 
     def update(key, pdf_iter, state: GroupState):
         if state.exists:
@@ -123,19 +132,42 @@ def stateful_words(
             ring = np.full(n, np.nan)
             n_seen = 0
             last_us = 0
+        frames = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(ts_col)
             vals = pdf[value_col].to_numpy(dtype=np.float64)
+            ts_us = (
+                pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            )
+            if per_append and len(vals):
+                buf = np.concatenate([ring, vals])
+                rings = np.lib.stride_tricks.sliding_window_view(buf, n)[
+                    1 : len(vals) + 1
+                ]
+                syms = K.symbolize_batch(np.ascontiguousarray(rings), w, c)
+                words = _strings_from_symbols(syms, c)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": key[0],
+                            "n_seen": n_seen + 1 + np.arange(len(vals)),
+                            "last_ts": pd.to_datetime(ts_us, unit="us"),
+                            "word": words,
+                        }
+                    )
+                )
             n_seen += len(vals)
             if len(vals):
-                last_us = int(
-                    pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)[-1]
-                )
+                last_us = int(ts_us[-1])
             if len(vals) >= n:
                 ring = vals[-n:]
             elif len(vals):
                 ring = np.concatenate([ring[len(vals):], vals])
         state.update((ring.tolist(), int(n_seen), int(last_us)))
+        if per_append:
+            if frames:
+                yield pd.concat(frames)
+            return
         syms = K.symbolize(ring, w, c)
         word = _strings_from_symbols(syms[None, :], c)[0]
         yield pd.DataFrame(

@@ -127,3 +127,52 @@ def test_stateful_words_matches_batch_law(spark, tmp_path):
         expect = K.symbols_to_string(K.symbolize(tail, w, c), c)
         assert final[key].word == expect
         assert final[key].n_seen == 9
+
+
+def test_stateful_words_per_append_emission(spark, tmp_path):
+    """emit='append' returns the word after EVERY appended value — the
+    reference's sts_append_value return contract (symtseries.c:481-492) —
+    matching a sequential reference replay across micro-batches."""
+    src = str(tmp_path / "word_src_append")
+    n, w, c = 8, 4, 4
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.RandomState(6)
+    seq = {"a": [], "b": []}
+    batches = []
+    for b in range(3):
+        rows = []
+        for key in ("a", "b"):
+            for j in range(3):
+                v = float(np.round(rng.normal(), 3))
+                seq[key].append(v)
+                rows.append(
+                    Row(key=key, ts=base + dt.timedelta(minutes=b * 10 + j),
+                        value=v)
+                )
+        batches.append(rows)
+    _write_batches(spark, src, batches)
+
+    stream = spark.readStream.schema(
+        "key string, ts timestamp, value double"
+    ).parquet(src)
+    words = stateful_words(stream, n, w, c, emit="append")
+    q = (
+        words.writeStream.format("memory")
+        .queryName("append_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.n_seen): r.word
+        for r in spark.sql("select * from append_sink").collect()
+    }
+    # sequential reference replay: ring starts all-NaN, word after each append
+    for key, vals in seq.items():
+        ring = np.full(n, np.nan)
+        for i, v in enumerate(vals):
+            ring = np.concatenate([ring[1:], [v]])
+            expect = K.symbols_to_string(K.symbolize(ring, w, c), c)
+            assert got[(key, i + 1)] == expect, (key, i + 1)
+    assert len(got) == sum(len(v) for v in seq.values())
