@@ -361,6 +361,21 @@ def q_simhash_dupes_docs(spark, sf_dir):
     return D.simhash_dupes(docs, max_hamming=3)
 
 
+def q_dup_pairs_verified(spark, sf_dir):
+    """End-to-end verified near-duplicates: MinHash-LSH candidate pairs
+    filtered by EXACT character-5-gram Jaccard ≥ 0.8. Oracled against a
+    brute-force all-pairs shingle join in DuckDB — the LSH stage must have
+    perfect recall at this threshold on the test corpus (16 bands × 4 rows
+    ⇒ P[miss | j=0.8] ≈ 2·10⁻⁴ per pair, and the qualifying pairs here sit
+    at j ≥ 0.9)."""
+    docs = _docs(spark, sf_dir)
+    cands = D.minhash_lsh_candidates(docs)
+    j = D.ngram_jaccard(cands, docs)
+    return j.filter(F.col("jaccard") >= 0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", T.fingerprint("text"))
@@ -641,6 +656,32 @@ def _words_cte() -> str:
     )
 
 
+def _lang_id_sql() -> str:
+    """DuckDB replica of text.lang_id_udf: per-language trigram hit counts
+    via non-overlapping replace-counts (equals pandas str.count for literal
+    patterns), argmax with first-language tie-break, 0 → 'und'."""
+    from symtseries_spark.operators.text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    score_exprs = []
+    for lg in langs:
+        terms = " + ".join(
+            f"(length(lt) - length(replace(lt, '{tri}', ''))) // {len(tri)}"
+            for tri in _LANG_PROFILES[lg]
+        )
+        score_exprs.append(f"({terms}) AS s_{lg}")
+    maxs = "greatest(" + ",".join(f"s_{lg}" for lg in langs) + ")"
+    pick = " ".join(f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs)
+    return f"""
+        WITH lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        sc AS (SELECT doc_id, {", ".join(score_exprs)} FROM lt),
+        mx AS (SELECT {maxs} AS m, * FROM sc)
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'und' {pick} END AS lang_pred
+        FROM mx
+    """
+
+
 def _mindist_cellsq_case(qword: str = "DDDDAAAADDDD", c: int = 8) -> str:
     """Per-(frame, letter) squared dist-table cell vs the query word,
     including the reference's farthest-extreme '#' substitution."""
@@ -707,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promote_hot_words": q_promote_hot_words,
         "promoted_lookup": q_promoted_lookup,
         "minhash_dupes_docs": q_minhash_dupes_docs,
+        "dup_pairs_verified": q_dup_pairs_verified,
         "simhash_dupes_docs": q_simhash_dupes_docs,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_lang_id": q_doc_lang_id,
@@ -915,6 +957,28 @@ def oracle_sql() -> dict[str, str]:
         + f"""
             SELECT key, window_ts, round(euclid, 6) AS euclid
             FROM e WHERE euclid <= {float(RANGE_RADIUS)!r}
+        """,
+        "doc_lang_id": _lang_id_sql(),
+        "dup_pairs_verified": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 4)) AS i
+              FROM documents WHERE length(text) >= 5
+            ), g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM pos
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
         """,
         "doc_quality": rf"""
             WITH wq AS (
