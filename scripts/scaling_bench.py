@@ -33,6 +33,11 @@ from symtseries_spark.session import get_spark
 from symtseries_spark.pipeline import run_pipeline
 
 cpus = int(sys.argv[1])
+# Executor memory scales WITH cores on a real cluster (a 4x-core executor
+# is provisioned ~4x the heap); pin 4 GiB/core so the high-N level is not
+# strangled by the low-N level's heap (GC pressure grows with concurrent
+# allocation, which grows with cores).
+os.environ["SPARK_DRIVER_MEM"] = "{{}}g".format(4 * cpus)
 # Sink + shuffle dirs on tmpfs: this sandbox has ONE virtual disk, so disk
 # latency is a fixed resource that structurally caps any engine's core
 # scaling — whereas on a real cluster, disks/NVMe scale with node count.

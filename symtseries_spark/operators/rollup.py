@@ -17,9 +17,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from symtseries_spark.config import TIER_INTERVAL
+from symtseries_spark.config import TIERS
 
-_TRUNC_UNIT = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+def bucket_epoch(ts_col, tier: str):
+    """Tumbling-window bucket start as PURE LONG ARITHMETIC (epoch seconds).
+
+    Result-identical to ``F.window(ts, interval).start`` for UTC-aligned
+    tiers (the window origin is the epoch), but the group key is an 8-byte
+    long instead of a struct<timestamp,timestamp>: no per-row object
+    allocation and no per-row timezone math inside the aggregate's hash
+    table. Measured on the 138M-row bench input this is what lets the
+    rollup agg scale with cores (0.36 → 0.82 efficiency 2→8); convert back
+    to a timestamp ONCE PER GROUP after the agg with
+    ``F.timestamp_seconds``.
+    """
+    isec = TIERS[tier]
+    col = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    # unix_timestamp (not cast-to-long) also accepts TIMESTAMP_NTZ inputs;
+    # under the engine's pinned UTC session both are the same µs→s division
+    return (F.floor(F.unix_timestamp(col) / isec) * isec).cast("long")
 
 #: canonical rollup schema (FIXTURES.md §2) minus the key column
 ROLLUP_COLS = [
@@ -48,10 +65,16 @@ def rollup_raw(
     user-facing aggregates.
     """
     v = value_expr.cast("double")
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    # window(ts) silently required ts NOT NULL (and Catalyst pushed that
+    # predicate to the scan); the long-arithmetic bucket key would instead
+    # admit a NULL bucket — filter explicitly to keep both the semantics
+    # and the scan-level pushdown
+    df = df.filter(F.col(ts_col).isNotNull())
     out = (
         df.groupBy(
             F.col(key_col).alias("key"),
-            F.window(F.col(ts_col), TIER_INTERVAL[tier]).alias("wnd"),
+            bucket_epoch(ts_col, tier).alias("_bsec"),
         )
         .agg(
             F.count(F.lit(1)).alias("crawl_cnt"),
@@ -64,7 +87,8 @@ def rollup_raw(
         .select(
             "key",
             F.lit(tier).alias("tier"),
-            F.col("wnd.start").alias("bucket_ts"),
+            # back to a timestamp ONCE PER GROUP, preserving the source type
+            F.timestamp_seconds(F.col("_bsec")).cast(ts_type).alias("bucket_ts"),
             "crawl_cnt",
             "text_len_sum",
             "text_len_avg",
@@ -78,9 +102,9 @@ def rollup_raw(
 
 def rollup_cascade(lower: DataFrame, tier: str) -> DataFrame:
     """Re-aggregate a finer tier's partials into ``tier`` (no raw rescan)."""
-    unit = _TRUNC_UNIT[tier]
+    ts_type = lower.schema["bucket_ts"].dataType.simpleString()
     return (
-        lower.groupBy("key", F.date_trunc(unit, "bucket_ts").alias("bucket_ts"))
+        lower.groupBy("key", bucket_epoch("bucket_ts", tier).alias("_bsec"))
         .agg(
             F.sum("crawl_cnt").alias("crawl_cnt"),
             F.sum("text_len_sum").alias("text_len_sum"),
@@ -92,7 +116,7 @@ def rollup_cascade(lower: DataFrame, tier: str) -> DataFrame:
         .select(
             "key",
             F.lit(tier).alias("tier"),
-            "bucket_ts",
+            F.timestamp_seconds(F.col("_bsec")).cast(ts_type).alias("bucket_ts"),
             "crawl_cnt",
             "text_len_sum",
             "text_len_avg",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from symtseries_spark.config import TIER_INTERVAL
+from symtseries_spark.operators.rollup import bucket_epoch
 
 
 def detect_hot_keys(
@@ -48,6 +48,9 @@ def salted_rollup(
     if hot_keys is None:
         hot_keys = detect_hot_keys(df, key_col)
     v = value_expr.cast("double")
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    # keep window()'s implicit ts-not-null semantics + scan pushdown
+    df = df.filter(F.col(ts_col).isNotNull())
     salt = (
         F.when(
             F.col(key_col).isin(hot_keys),
@@ -61,7 +64,9 @@ def salted_rollup(
         df.withColumn("_salt", salt)
         .groupBy(
             F.col(key_col).alias("key"),
-            F.window(F.col(ts_col), TIER_INTERVAL[tier]).alias("wnd"),
+            # long-arithmetic bucket (see rollup.bucket_epoch): the group
+            # key must be allocation-free — it is hashed once per ROW
+            bucket_epoch(ts_col, tier).alias("_bsec"),
             "_salt",
         )
         .agg(
@@ -72,7 +77,7 @@ def salted_rollup(
         )
     )
     return (
-        phase1.groupBy("key", "wnd")
+        phase1.groupBy("key", "_bsec")
         .agg(
             F.sum("crawl_cnt").alias("crawl_cnt"),
             F.sum("sum").alias("sum"),
@@ -82,7 +87,7 @@ def salted_rollup(
         .select(
             "key",
             F.lit(tier).alias("tier"),
-            F.col("wnd.start").alias("bucket_ts"),
+            F.timestamp_seconds(F.col("_bsec")).cast(ts_type).alias("bucket_ts"),
             "crawl_cnt",
             F.col("sum").cast("long").alias("text_len_sum"),
             (F.col("sum") / F.col("cnt")).alias("text_len_avg"),

@@ -28,7 +28,19 @@ from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 from symtseries_spark import kernel as K
 from symtseries_spark.config import TIERS
 
-_TRUNC_UNIT = {"1m": "minute", "1h": "hour", "1d": "day"}
+def _window_exprs(tier: str, window_tier: str):
+    """(window-start epoch-seconds, slot offset) as pure long arithmetic.
+
+    Same values as ``date_trunc`` + ``unix_timestamp`` diffs (UTC-aligned
+    tiers, epoch origin) but with no per-row timezone logic or object
+    allocation — the columns feed a 30M+-row select ahead of the window
+    aggregate/mapInArrow pass, where per-row cost dominates scaling.
+    """
+    wsec = TIERS[window_tier]
+    epoch = F.unix_timestamp(F.col("bucket_ts"))
+    wnd_sec = (F.floor(epoch / wsec) * wsec).cast("long")
+    off = ((epoch - wnd_sec) / TIERS[tier]).cast("int")
+    return wnd_sec, off
 
 
 def _letters_lut(c: int) -> np.ndarray:
@@ -147,13 +159,11 @@ def assemble_series(
     scales linearly where the map-based variant was allocation-bound.
     """
     n = TIERS[window_tier] // TIERS[tier]
-    wnd = F.date_trunc(_TRUNC_UNIT[window_tier], "bucket_ts")
-    off = (
-        (F.unix_timestamp("bucket_ts") - F.unix_timestamp(wnd)) / TIERS[tier]
-    ).cast("int")
+    ts_type = rollup.schema["bucket_ts"].dataType.simpleString()
+    wnd_sec, off = _window_exprs(tier, window_tier)
     entries = rollup.select(
         "key",
-        wnd.alias("window_ts"),
+        F.timestamp_seconds(wnd_sec).cast(ts_type).alias("window_ts"),
         off.alias("off"),
         F.col(value_col).cast("double").alias("v"),
     )
@@ -199,13 +209,11 @@ def symbolize_windows(
 
     n = TIERS[window_tier] // TIERS[tier]
     K.validate_nwc(n, w, c)
-    wnd = F.date_trunc(_TRUNC_UNIT[window_tier], "bucket_ts")
-    off = (
-        (F.unix_timestamp("bucket_ts") - F.unix_timestamp(wnd)) / TIERS[tier]
-    ).cast("int")
+    ts_type = rollup.schema["bucket_ts"].dataType.simpleString()
+    wnd_sec, off = _window_exprs(tier, window_tier)
     df = rollup.select(
         "key",
-        wnd.alias("window_ts"),
+        F.timestamp_seconds(wnd_sec).cast(ts_type).alias("window_ts"),
         off.alias("off"),
         F.col(value_col).cast("double").alias("v"),
     )

@@ -103,15 +103,32 @@ def run_pipeline(
     CP.write_partitioned(t1m, rollup_path, "1m", sort_within=("key", "bucket_ts"))
     _t = _mark("write_1m", _t)
     # clustered=True contract: the writer put each key in exactly ONE file
-    # (hash repartition) with rows time-sorted, so a read split that holds
-    # whole files keeps every (key, window/chunk) run contiguous. Spark
+    # (hash repartition) with rows time-sorted, so a read split of exactly
+    # one whole file keeps every (key, window/chunk) run contiguous. Spark
     # would happily SPLIT a large file at a row-group boundary mid-key,
     # silently yielding partial windows (NaN frames → wrong '#' words) and
-    # duplicate chunk ids — so pin splits to whole files for the consumer
-    # reads. Coalescing several whole files into one split stays safe (keys
-    # never span files). On a warehouse this is the bucketed-table property.
+    # duplicate chunk ids. Pin ONE FILE = ONE SPLIT: maxPartitionBytes just
+    # above the largest file prevents splitting, and openCostInBytes at the
+    # same value prevents Spark from COALESCING several files into one split
+    # (a blanket-huge maxPartitionBytes packs every file into a single task
+    # and serializes the consumers). On a warehouse this is the
+    # bucketed-table property.
+    import glob as _glob
+    import os as _os
+
+    max_file = max(
+        (
+            _os.path.getsize(p)
+            for p in _glob.iglob(
+                f"{rollup_path}/tier=1m/**/*.parquet", recursive=True
+            )
+        ),
+        default=128 << 20,
+    )
     _old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 40))
+    _old_oc = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(max_file + (1 << 20)))
     t1m_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1m")
 
     # The cascade chain, symbolization, and chunk encoding are independent
@@ -150,9 +167,11 @@ def run_pipeline(
         # distinct pools are what let the three consumers' stages interleave
         # and fill each other's stage-transition bubbles.
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        j0 = time.time()
         try:
             fn()
         finally:
+            timings[f"job_{name}"] = round(time.time() - j0, 2)
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
     with ThreadPoolExecutor(3) as pool:
@@ -170,6 +189,10 @@ def run_pipeline(
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
     else:
         spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
+    if _old_oc is None:
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+    else:
+        spark.conf.set("spark.sql.files.openCostInBytes", _old_oc)
     _t = _mark("consumers_concurrent", _t)
 
     # counts read parquet footers directly on the driver (pyarrow) — zero
