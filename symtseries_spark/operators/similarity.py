@@ -200,7 +200,12 @@ def build_srp_index(
             "table", "bucket"
         ),
     )
-    b.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    # shuffle onto the partition columns first: each (table, bucket) dir
+    # gets ONE file instead of one per writer task — tables·2^bits dirs of
+    # tiny files would otherwise dominate the build (and every listing)
+    b.repartition("table", "bucket").write.mode("overwrite").partitionBy(
+        "table", "bucket"
+    ).parquet(path)
 
 
 def lsh_topk_indexed(
@@ -234,7 +239,9 @@ def build_ivf_index(
     assigned = emb.select(
         id_col, vec_col, assign_udf(centroids)(F.col(vec_col)).alias("cell")
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def ivf_topk_indexed(

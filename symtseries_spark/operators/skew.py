@@ -43,8 +43,19 @@ def salted_rollup(
     tier: str = "1m",
     hot_keys: list | None = None,
     salt_buckets: int = 16,
+    cluster_by_key: bool = False,
 ) -> DataFrame:
-    """Exact rollup_raw results, computed skew-free via two-phase salting."""
+    """Exact rollup_raw results, computed skew-free via two-phase salting.
+
+    ``cluster_by_key=True`` inserts the key repartition BETWEEN the two agg
+    phases instead of leaving the caller to repartition the final result:
+    hash-partitioning by ``key`` already satisfies the phase-2
+    ``groupBy(key, bucket)`` clustering requirement, so Catalyst plans the
+    final agg WITHOUT its own exchange — the whole rollup + key-clustered
+    layout costs two shuffles of partial rows instead of three. Callers
+    that need key-clustered output (the tier writer) should use this and
+    drop their own ``repartition("key")``.
+    """
     if hot_keys is None:
         hot_keys = detect_hot_keys(df, key_col)
     v = value_expr.cast("double")
@@ -76,6 +87,8 @@ def salted_rollup(
             F.sum(v * v).alias("sumsq"),
         )
     )
+    if cluster_by_key:
+        phase1 = phase1.repartition("key")
     return (
         phase1.groupBy("key", "_bsec")
         .agg(

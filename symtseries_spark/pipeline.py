@@ -85,6 +85,13 @@ def run_pipeline(
         src = CP.filter_new_input(src, "warc_ts", wm, "1m")
 
     rollup_path = f"{out_dir}/rollup"
+    # cluster_by_key: the key repartition rides BETWEEN the two salted agg
+    # phases, so the final agg is exchange-free and the written tier comes
+    # out key-clustered for two shuffles total (salted partials + key) —
+    # not three. Sorting by time within each file removes BOTH downstream
+    # repartition+sorts (symbolization and chunk encoding read with
+    # clustered=True). On a real warehouse this is the table's bucket/sort
+    # spec.
     t1m = salted_rollup(
         src,
         "url",
@@ -93,13 +100,9 @@ def run_pipeline(
         "1m",
         hot_keys=hot_keys,
         salt_buckets=cfg.salt_buckets,
+        cluster_by_key=True,
     )
     _t = _mark("plan_rollup", t0)
-    # Cluster the written tier by key and sort by time within each file:
-    # one extra shuffle here removes BOTH downstream repartition+sorts
-    # (symbolization and chunk encoding read with clustered=True). On a
-    # real warehouse this is the table's bucket/sort spec.
-    t1m = t1m.repartition("key")
     CP.write_partitioned(t1m, rollup_path, "1m", sort_within=("key", "bucket_ts"))
     _t = _mark("write_1m", _t)
     # clustered=True contract: the writer put each key in exactly ONE file
