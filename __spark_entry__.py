@@ -393,8 +393,15 @@ def q_doc_quality(spark, sf_dir):
 
 def _ann_index_dir(sf_dir, kind, params: str = ""):
     import hashlib
+    import os
 
-    h = hashlib.sha1(f"{sf_dir}|{params}".encode()).hexdigest()[:10]
+    # key the cache on source mtime too, so regenerated testdata (or a new
+    # round) can never serve a stale index
+    try:
+        mt = int(os.path.getmtime(f"{sf_dir}/embeddings.parquet"))
+    except OSError:
+        mt = 0
+    h = hashlib.sha1(f"{sf_dir}|{params}|{mt}".encode()).hexdigest()[:10]
     return f"/tmp/symtseries_ann/{kind}_{h}"
 
 
