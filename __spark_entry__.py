@@ -431,13 +431,33 @@ def q_embedding_lsh_topk(spark, sf_dir):
     )
 
 
+def _emb_np(sf_dir):
+    """(vec_ids, X float64) straight from the parquet file — the oracle-
+    side twin of the embeddings scan (file order, f32→f64 exact)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, X
+
+
+def _ivf_centroids(sf_dir):
+    """Centroids from the SHARED numpy trainer over the file-order corpus —
+    the Spark query and the DuckDB oracle both call this, so the literals
+    can never drift from the index build."""
+    _, X = _emb_np(sf_dir)
+    return S.train_centroids_np(X, n_centroids=8)
+
+
 def q_embedding_ivf_topk(spark, sf_dir):
     """ANN via a STORED IVF index: vectors partitioned by centroid cell at
     build; the query prunes to nprobe cell directories."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 3).first().embedding
-    cents = S.train_centroids(emb, n_centroids=8, sample=1.0)
-    path = _ann_index_dir(sf_dir, "ivf", "c8s13")
+    cents = _ivf_centroids(sf_dir)
+    path = _ann_index_dir(sf_dir, "ivf", "c8s13v2")
     if not _index_is_built(path):
         S.build_ivf_index(emb, path, cents)
     # nprobe 5/8 → recall@10 = 0.9 on the near-random synthetic embeddings
@@ -700,6 +720,95 @@ def _lang_id_sql() -> str:
     """
 
 
+_ORACLE_SF = "/root/testdata/sf0.01"  # the driver runs oracle_sql at sf0.01
+
+
+def _dlist(vals) -> str:
+    return "[" + ",".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+def _ivf_topk_sql(sf_dir: str = _ORACLE_SF, nprobe: int = 5, k: int = 10) -> str:
+    """DuckDB replica of the stored-IVF probe: centroid literals come from
+    the SAME shared trainer the Spark query uses; per-row cell assignment
+    happens IN SQL (arg_min over cosine with numpy's first-max tie-break),
+    probe cells are Python literals replicating ivf_topk_indexed."""
+    import numpy as np
+
+    C = _ivf_centroids(sf_dir)
+    ids, X = _emb_np(sf_dir)
+    q = X[list(ids).index(3)]
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cells = [int(x) for x in np.argsort(-(C @ qn))[:nprobe]]
+    cent_rows = ",".join(f"({j}, {_dlist(C[j])})" for j in range(len(C)))
+    return f"""
+        WITH cents(j, c) AS (VALUES {cent_rows}),
+        q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 3),
+        sims AS (
+          SELECT e.vec_id, ct.j,
+                 list_cosine_similarity(e.embedding::DOUBLE[], ct.c) AS s
+          FROM embeddings e CROSS JOIN cents ct
+        ),
+        assign AS (
+          SELECT vec_id, j AS cell FROM (
+            SELECT vec_id, j,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, j ASC) AS rn
+            FROM sims
+          ) WHERE rn = 1
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 6) AS cosine
+        FROM embeddings e JOIN assign a USING (vec_id), q
+        WHERE a.cell IN ({",".join(map(str, cells))})
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
+def _lsh_topk_sql(sf_dir: str = _ORACLE_SF, bits: int = 8, seed: int = 7,
+                  tables: int = 16, k: int = 10) -> str:
+    """DuckDB replica of the stored-SRP probe: the hyperplanes are the same
+    seeded RandomState draw the Spark UDF uses; per-row (table, bucket)
+    assignment happens IN SQL (sign of 128 literal-plane dot products);
+    probe buckets (own + 1-bit flips) are Python literals from
+    srp_buckets_of."""
+    import numpy as np
+
+    ids, X = _emb_np(sf_dir)
+    q = X[list(ids).index(3)]
+    dim = X.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(tables, dim, bits))
+    probes = S.srp_buckets_of(q, bits, seed, tables)
+    plane_rows = ",".join(
+        f"({t}, {1 << b}, {_dlist(planes[t, :, b])})"
+        for t in range(tables)
+        for b in range(bits)
+    )
+    probe_cond = " OR ".join(
+        f"(t = {t} AND bucket IN ({','.join(map(str, probes[t]))}))"
+        for t in range(tables)
+    )
+    return f"""
+        WITH planes(t, w, p) AS (VALUES {plane_rows}),
+        q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 3),
+        bk AS (
+          SELECT e.vec_id, pl.t,
+                 SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                          THEN pl.w ELSE 0 END)::INT AS bucket
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY 1, 2
+        ),
+        cand AS (SELECT DISTINCT vec_id FROM bk WHERE {probe_cond})
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+        LIMIT {k}
+    """
+
+
 def _mindist_cellsq_case(qword: str = "DDDDAAAADDDD", c: int = 8) -> str:
     """Per-(frame, letter) squared dist-table cell vs the query word,
     including the reference's farthest-extreme '#' substitution."""
@@ -771,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
+        # stored-ANN probes — oracle-checked via literal-plane/centroid
+        # replicas in DuckDB (per-row assignment recomputed in SQL)
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "media_features": q_media_features,
@@ -977,6 +1088,8 @@ def oracle_sql() -> dict[str, str]:
             FROM e WHERE euclid <= {float(RANGE_RADIUS)!r}
         """,
         "doc_lang_id": _lang_id_sql(),
+        "embedding_ivf_topk": _ivf_topk_sql(),
+        "embedding_lsh_topk": _lsh_topk_sql(),
         "dup_pairs_verified": """
             WITH pos AS (
               SELECT doc_id, text,

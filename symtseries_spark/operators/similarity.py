@@ -126,13 +126,12 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
-def train_centroids(emb: DataFrame, n_centroids: int = 16,
-                    vec_col: str = "embedding", sample: float = 0.2,
-                    iters: int = 5, seed: int = 13) -> np.ndarray:
-    """Deterministic mini k-means on a driver-side sample (the train step
-    is tiny; assignment stays distributed)."""
-    rows = emb.select(vec_col).sample(fraction=min(1.0, sample), seed=seed).collect()
-    X = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
+def train_centroids_np(X: np.ndarray, n_centroids: int = 16,
+                       iters: int = 5, seed: int = 13) -> np.ndarray:
+    """Deterministic mini k-means on an in-memory sample — the single
+    source of truth for centroid math (the Spark trainer and the DuckDB
+    oracle literal generator both call this, so they can never drift)."""
+    X = _normalize(np.asarray(X, dtype=np.float64))
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
@@ -143,6 +142,16 @@ def train_centroids(emb: DataFrame, n_centroids: int = 16,
                 C[j] = X[m].mean(axis=0)
         C = _normalize(C)
     return C
+
+
+def train_centroids(emb: DataFrame, n_centroids: int = 16,
+                    vec_col: str = "embedding", sample: float = 0.2,
+                    iters: int = 5, seed: int = 13) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the train step
+    is tiny; assignment stays distributed)."""
+    rows = emb.select(vec_col).sample(fraction=min(1.0, sample), seed=seed).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return train_centroids_np(X, n_centroids, iters, seed)
 
 
 def assign_udf(centroids: np.ndarray):
