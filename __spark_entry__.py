@@ -552,6 +552,24 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "mime", feat_q6.alias("feature_q6"))
 
 
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling + resize plumbing over binary media columns (decode
+    kernels are declared stubs; schema/batching/pruning are the real
+    production path). Emits one row per sampled frame with the resized
+    thumbnail fingerprint of the source — hashable scalars only."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    frames = M.sample_frames(docs, every_n=8, max_frames=2)
+    thumbs = M.resize_images(docs, width=4, height=4).select(
+        "media_id", F.xxhash64("pixels").alias("thumb_hash")
+    )
+    return frames.select(
+        "media_id", "frame_idx", F.xxhash64("frame").alias("frame_hash")
+    ).join(thumbs, "media_id")
+
+
 # --------------------------------------------------------------------------
 # oracle SQL generators for the iSAX surface — the DuckDB literals (query
 # z-norm vector, Gaussian breakpoints, dist-table cells) are derived from
@@ -885,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }
 
 

@@ -119,6 +119,57 @@ def extract_features(
     return media.select(*cols).mapInPandas(_batches, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 8, height: int = 8,
+    id_col: str = "media_id", payload_col: str = "payload", fake: bool = True,
+) -> DataFrame:
+    """Image resize plumbing: (media_id, width, height, pixels).
+
+    The resample kernel is STUBBED (no Pillow/libvips in this container):
+    fake=True produces a deterministic width×height grayscale buffer by
+    area-averaging the payload bytes with numpy — byte-stable across runs
+    and partitions, so the Arrow batch shape, output schema, and payload
+    column pruning are tested for real. A production deployment swaps the
+    inner function for a real decoder+resampler; nothing else changes.
+    """
+    if not fake:
+        raise NotImplementedError("image resampling not available in this container")
+    n = width * height
+
+    def _batches(it):
+        for pdf in it:
+            ids, bufs = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                src = np.frombuffer(
+                    payload[: 16 * n].ljust(16 * n, b"\0"), dtype=np.uint8
+                )
+                px = src.reshape(n, 16).mean(axis=1).astype(np.uint8)
+                ids.append(mid)
+                bufs.append(px.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": np.full(len(ids), width, dtype=np.int32),
+                    "height": np.full(len(ids), height, dtype=np.int32),
+                    "pixels": bufs,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_batches, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

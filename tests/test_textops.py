@@ -305,6 +305,14 @@ def test_media_metadata_and_features(spark):
     assert len(frames) == 12
     assert all(len(r.frame) <= 16 for r in frames)
 
+    rs = {r.media_id: r for r in M.resize_images(df, width=4, height=4).collect()}
+    assert len(rs) == 4
+    assert all(r.width == 4 and r.height == 4 for r in rs.values())
+    assert all(len(r.pixels) == 16 for r in rs.values())
+    # deterministic across runs
+    rs2 = {r.media_id: r.pixels for r in M.resize_images(df, 4, 4).collect()}
+    assert {k: v.pixels for k, v in rs.items()} == rs2
+
 
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
