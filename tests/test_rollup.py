@@ -122,3 +122,35 @@ def test_pipeline_chunks_decode_to_tier_and_index_is_complete(spark, crawl, tmp_
     ).distinct().count()
     assert idx.count() == n_windows
     assert idx.select("key", "window_ts").distinct().count() == n_windows
+
+
+def test_bucket_epoch_matches_window_semantics(spark):
+    """bucket_epoch (the allocation-free long group key) must equal
+    F.window(ts, interval).start for every tier on adversarial timestamps:
+    exact boundaries, one-microsecond offsets either side, leap-day,
+    year-end, and a pre-2000 value."""
+    from symtseries_spark.operators.rollup import bucket_epoch
+    from symtseries_spark.config import TIER_INTERVAL
+
+    stamps = [
+        "1999-12-31 23:59:59.999999",
+        "2000-01-01 00:00:00",
+        "2024-02-29 13:37:42.5",
+        "2024-12-31 23:59:59.999999",
+        "2025-01-01 00:00:00.000001",
+        "2025-06-15 11:59:59.999999",
+        "2025-06-15 12:00:00",
+        "2025-06-15 12:00:00.000001",
+        "2025-06-15 12:59:59.999999",
+        "2025-06-15 23:59:59.999999",
+    ]
+    df = spark.createDataFrame([(s,) for s in stamps], "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+    for tier in ("1m", "1h", "1d"):
+        rows = df.select(
+            F.timestamp_seconds(bucket_epoch("ts", tier)).alias("mine"),
+            F.window("ts", TIER_INTERVAL[tier]).start.alias("theirs"),
+        ).collect()
+        for r in rows:
+            assert r.mine == r.theirs, (tier, r)
