@@ -738,20 +738,27 @@ def _lang_id_sql() -> str:
     """
 
 
-_ORACLE_SF = "/root/testdata/sf0.01"  # the driver runs oracle_sql at sf0.01
+def _oracle_sf() -> str:
+    """SF dir the data-coupled oracle literals are derived from. The driver
+    contract runs oracle_sql at sf0.01; the local pytest parity harness
+    overrides via SYMT_ORACLE_SF so the same oracles verify at any SF."""
+    import os
+
+    return os.environ.get("SYMT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def _dlist(vals) -> str:
     return "[" + ",".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
 
 
-def _ivf_topk_sql(sf_dir: str = _ORACLE_SF, nprobe: int = 5, k: int = 10) -> str:
+def _ivf_topk_sql(sf_dir: str | None = None, nprobe: int = 5, k: int = 10) -> str:
     """DuckDB replica of the stored-IVF probe: centroid literals come from
     the SAME shared trainer the Spark query uses; per-row cell assignment
     happens IN SQL (arg_min over cosine with numpy's first-max tie-break),
     probe cells are Python literals replicating ivf_topk_indexed."""
     import numpy as np
 
+    sf_dir = sf_dir or _oracle_sf()
     C = _ivf_centroids(sf_dir)
     ids, X = _emb_np(sf_dir)
     q = X[list(ids).index(3)]
@@ -783,7 +790,7 @@ def _ivf_topk_sql(sf_dir: str = _ORACLE_SF, nprobe: int = 5, k: int = 10) -> str
     """
 
 
-def _lsh_topk_sql(sf_dir: str = _ORACLE_SF, bits: int = 8, seed: int = 7,
+def _lsh_topk_sql(sf_dir: str | None = None, bits: int = 8, seed: int = 7,
                   tables: int = 16, k: int = 10) -> str:
     """DuckDB replica of the stored-SRP probe: the hyperplanes are the same
     seeded RandomState draw the Spark UDF uses; per-row (table, bucket)
@@ -792,6 +799,7 @@ def _lsh_topk_sql(sf_dir: str = _ORACLE_SF, bits: int = 8, seed: int = 7,
     srp_buckets_of."""
     import numpy as np
 
+    sf_dir = sf_dir or _oracle_sf()
     ids, X = _emb_np(sf_dir)
     q = X[list(ids).index(3)]
     dim = X.shape[1]
