@@ -83,15 +83,23 @@ def mindist_scan(
 ) -> DataFrame:
     """Annotate every compatible index row with mindist(query, word).
 
-    One Arrow-vectorized pass; Catalyst prunes to the (w, c)-compatible
-    slice first so the UDF only sees candidate rows.
+    Catalyst prunes to the (w, c)-compatible slice first; the UDF then runs
+    over the DISTINCT words only (mindist is a function of the word, not
+    the row) and the per-word results broadcast-join back — per-query UDF
+    cost is proportional to the vocabulary (bounded by c^w, practically
+    thousands), not the corpus row count.
     """
     w = len(query_word)
     compat = index.filter((F.col("w") == w) & (F.col("c") == c))
     m = mindist_udf(query_word, c, n_query)(F.col("word"))
-    return compat.withColumn("mindist", m["d"]).withColumn(
-        "mindist_above", m["above"]
-    ).withColumn("mindist_below", m["below"])
+    per_word = (
+        compat.select("word")
+        .distinct()
+        .withColumn("mindist", m["d"])
+        .withColumn("mindist_above", m["above"])
+        .withColumn("mindist_below", m["below"])
+    )
+    return compat.join(F.broadcast(per_word), "word")
 
 
 def range_query(
@@ -219,7 +227,11 @@ def lower_bound_scan(
     index: DataFrame, query_series: np.ndarray, w: int, c: int
 ) -> DataFrame:
     """Annotate every (w, c)-compatible index row with ``mindist_lb`` — the
-    bound-safe lower bound of the refine distance (one Arrow pass)."""
+    bound-safe lower bound of the refine distance.
+
+    The bound is a function of (word, frame_full) alone, so the Arrow UDF
+    runs over the DISTINCT pairs and broadcast-joins back: per-query UDF
+    cost scales with the vocabulary, not the corpus."""
     q = np.asarray(query_series, dtype=np.float64)
     qword = K.symbols_to_string(K.symbolize(q, w, c), c)
     fs = len(q) // w
@@ -227,7 +239,10 @@ def lower_bound_scan(
         index.filter((F.col("w") == w) & (F.col("c") == c)), w, len(q)
     )
     lb = mindist_lb_udf(qword, c, fs)(F.col("word"), F.col("frame_full"))
-    return compat.withColumn("mindist_lb", lb)
+    per_pair = (
+        compat.select("word", "frame_full").distinct().withColumn("mindist_lb", lb)
+    )
+    return compat.join(F.broadcast(per_pair), ["word", "frame_full"])
 
 
 def exact_knn(
