@@ -38,8 +38,10 @@ print(f"entry(): {len(rows)} rows, schema {df.columns}")
 
 targets = [
     "exact_knn_daily", "isax_range_daily", "sax_words_daily",
-    "mindist_topk_daily", "media_features", "simhash_dupes_docs",
-    "minhash_dupes_docs", "dedup_exact_docs", "doc_quality",
+    "mindist_topk_daily", "media_features", "media_frames",
+    "simhash_dupes_docs", "minhash_dupes_docs", "dup_pairs_verified",
+    "dedup_exact_docs", "doc_quality", "doc_lang_id",
+    "embedding_lsh_topk", "embedding_ivf_topk",
 ]
 oracles = E.oracle_sql()
 qs = E.queries()
