@@ -60,8 +60,16 @@ def ensure_crawl(spark, sf: str) -> str:
 def bench_pipeline(spark, sf: str) -> tuple[float, dict]:
     path = ensure_crawl(spark, sf)
     out = os.path.join(BENCH_DATA, f"out_sf{sf}")
-    shutil.rmtree(out, ignore_errors=True)
     crawl = spark.read.parquet(path)
+    # warm-up (same methodology as scripts/scaling_bench.py): one small
+    # pipeline pass compiles every whole-stage-codegen method, JITs the
+    # JVM hot paths, and spawns the per-core Python UDF workers — all
+    # once-per-JVM costs a long-running cluster job amortizes to zero.
+    # The timed window below measures the ENGINE, not JVM startup.
+    shutil.rmtree(out + "_warm", ignore_errors=True)
+    run_pipeline(spark, crawl.limit(50_000), out_dir=out + "_warm")
+    shutil.rmtree(out + "_warm", ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
     m = run_pipeline(spark, crawl, out_dir=out)
     return time.time() - t0, m
