@@ -263,7 +263,12 @@ def minhash_lsh_dupes(
     candidate side is small, so Catalyst/AQE broadcasts it against the
     signature table instead of shuffling signatures through the pair dedup.
     """
-    sig = minhash_signatures(docs, text_col, id_col, num_perm, k)
+    # the signature table feeds THREE plan branches (banding + two pair
+    # rejoins); without materialization Catalyst recomputes the signature
+    # UDF over the corpus once per branch. Persist it — in a production
+    # pipeline this is a stored signature table, computed once per corpus
+    # snapshot (exactly like the ANN indexes).
+    sig = minhash_signatures(docs, text_col, id_col, num_perm, k).persist()
     pairs = minhash_lsh_candidates(
         docs, text_col, id_col, num_perm, bands, k, max_bucket, sig=sig
     )
