@@ -35,3 +35,32 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 def test_retention_filter_pushed(spark, sf_dir):
     plan = assert_plan(E.q_retention_1m(spark, sf_dir), contains=("PushedFilters",))
     assert "IsNotNull(ts)" in plan
+
+
+def test_clustered_rollup_costs_two_exchanges(spark):
+    """cluster_by_key fuses the key repartition into the salted agg: the
+    executed plan must contain exactly TWO exchanges (salted partials +
+    key), never a third for the final agg."""
+    from symtseries_spark.operators.skew import salted_rollup
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:05", 3.0), ("b", "2024-01-01 00:01:07", 4.0)],
+        "url string, ts string, v double",
+    ).select("url", F.to_timestamp("ts").alias("ts"), "v")
+    out = salted_rollup(
+        df, "url", "ts", F.col("v"), "1m", hot_keys=["a"], cluster_by_key=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_mindist_scan_udf_runs_per_distinct_word(spark, sf_dir):
+    """The mindist Arrow UDF must be evaluated on the DISTINCT vocabulary
+    and broadcast-joined back — not once per index row."""
+    plan = assert_plan(
+        E.q_mindist_topk_daily(spark, sf_dir),
+        contains=("BroadcastHashJoin",),
+    )
+    # the UDF eval sits above an aggregate (the distinct), i.e. in the
+    # small per-word branch, and the join brings it back to the index rows
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
