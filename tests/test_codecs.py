@@ -152,3 +152,49 @@ def test_split_codecs_batch_round_trip_property():
     tn = np.array([len(t) for t in tchunks])
     tgot = decode_timestamps_split_batch(tp, tn)
     assert np.array_equal(tgot, np.concatenate(tchunks))
+
+
+def test_split_codec_roundtrip_hypothesis():
+    """Fuzz the split-layout codecs: decode∘encode must be the identity for
+    arbitrary float64 payloads (subnormals, ±0.0, huge magnitudes, long
+    equal runs) and arbitrary non-decreasing µs timestamps."""
+    from hypothesis import given, settings, strategies as st
+
+    from symtseries_spark.operators.codecs import (
+        _codes_timestamps_split,
+        _codes_values_split,
+        _pack_groups,
+        decode_timestamps_split_batch,
+        decode_values_split_batch,
+    )
+
+    floats = st.one_of(
+        st.floats(allow_nan=False, width=64),
+        st.just(0.0),
+        st.just(-0.0),
+        st.floats(min_value=-1e-300, max_value=1e-300, allow_nan=False),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(floats, min_size=1, max_size=130))
+    def check_values(vals):
+        v = np.asarray(vals, dtype=np.float64)
+        blob = _pack_groups([_codes_values_split(v)])[0]
+        out = decode_values_split_batch([blob], np.array([len(v)]))
+        assert v.view(np.uint64).tolist() == np.asarray(out).view(np.uint64).tolist()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=1 << 40), min_size=1, max_size=130
+        ),
+        st.integers(min_value=0, max_value=1 << 50),
+    )
+    def check_ts(deltas, t0):
+        ts = t0 + np.cumsum(np.asarray(deltas, dtype=np.int64))
+        blob = _pack_groups([_codes_timestamps_split(ts)])[0]
+        out = decode_timestamps_split_batch([blob], np.array([len(ts)]))
+        assert ts.tolist() == list(out)
+
+    check_values()
+    check_ts()
