@@ -434,6 +434,175 @@ def _codes_timestamps_split(ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return bits, nbits
 
 
+def _pack_sliced_groups(
+    bits: np.ndarray, nbits: np.ndarray, code_counts: np.ndarray
+) -> list[bytes]:
+    """Pad each group's code stream to a byte boundary (0-filled pad code),
+    pack EVERYTHING in one _pack_codes call, slice per group.
+
+    ``code_counts`` gives each group's code count inside the concatenated
+    (bits, nbits); this is the fully-array-driven twin of _pack_groups
+    (no per-group Python at all — pad codes are scatter-inserted)."""
+    G = len(code_counts)
+    if G == 0:
+        return []
+    code_counts = np.asarray(code_counts, dtype=np.int64)
+    cum = np.cumsum(nbits)
+    grp_end = np.cumsum(code_counts)  # index AFTER each group's last code
+    tot = cum[grp_end - 1] - np.concatenate([[0], cum[grp_end - 1][:-1]])
+    pad = (-tot) % 8
+    has_pad = pad > 0
+    shift = np.cumsum(has_pad) - has_pad  # pads inserted BEFORE each group
+    T = len(bits)
+    final = np.arange(T, dtype=np.int64) + np.repeat(shift, code_counts)
+    out_bits = np.zeros(T + int(has_pad.sum()), dtype=np.uint64)
+    out_nbits = np.zeros(len(out_bits), dtype=np.int64)
+    out_bits[final] = bits
+    out_nbits[final] = nbits
+    # group g's pad sits right after its last code; `shift` (exclusive
+    # count of pads inserted before g) already accounts for earlier pads
+    pad_pos = grp_end[has_pad] + shift[has_pad]
+    out_nbits[pad_pos] = pad[has_pad]
+    packed = _pack_codes(out_bits, out_nbits)
+    byte_lens = (tot + pad) // 8
+    offs = np.concatenate([[0], np.cumsum(byte_lens)])
+    return [packed[offs[g] : offs[g + 1]] for g in range(G)]
+
+
+def _codes_values_split_batch(
+    v_all: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """gorilla-s payload bytes for MANY chunks in one vectorized pass.
+
+    Identical output to [_pack_groups([_codes_values_split(v[s:e])])[0] per
+    group] (equality-pinned in tests), but every section — controls,
+    headers, payloads — is computed globally and scatter-assembled into the
+    per-group [first | ctrl bits | headers | payloads] layout, so the
+    encode stage costs O(sections) numpy calls instead of O(groups)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    u = np.ascontiguousarray(np.asarray(v_all, dtype=np.float64)).view(np.uint64)
+    G = len(starts)
+    lens = ends - starts
+    m = lens - 1  # xor positions per group (>= 0)
+
+    first_mask = np.zeros(len(u), dtype=bool)
+    first_mask[starts] = True
+    xr = np.empty(len(u), dtype=np.uint64)
+    xr[1:] = u[1:] ^ u[:-1]
+    xr[0] = 0
+    xor = xr[~first_mask]  # compact, group-contiguous, Σm long
+
+    ctrl = xor != 0
+    nzv = xor[ctrl]
+    lznz = np.minimum(_clz64(nzv), 31)
+    tznz = np.minimum(_ctz64(nzv), 63)
+    mlen = np.maximum(64 - lznz - tznz, 1)
+    header = (lznz.astype(np.uint64) << np.uint64(6)) | (mlen - 1).astype(np.uint64)
+    payload = nzv >> tznz.astype(np.uint64)
+
+    cc = np.concatenate([[0], np.cumsum(ctrl.astype(np.int64))])
+    xoff = np.concatenate([[0], np.cumsum(m)])
+    K = cc[xoff[1:]] - cc[xoff[:-1]]  # nz count per group
+
+    counts = 1 + m + 2 * K
+    off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    T = int(counts.sum())
+    bits = np.empty(T, dtype=np.uint64)
+    nbits = np.empty(T, dtype=np.int64)
+
+    bits[off] = u[starts]
+    nbits[off] = 64
+
+    gid = np.repeat(np.arange(G, dtype=np.int64), m)
+    wi = _seg_arange(m)
+    idx_ctrl = off[gid] + 1 + wi
+    bits[idx_ctrl] = ctrl.astype(np.uint64)
+    nbits[idx_ctrl] = 1
+
+    gid_nz = gid[ctrl]
+    rank = (cc[1:][ctrl] - cc[xoff[gid_nz]]) - 1
+    idx_hdr = off[gid_nz] + 1 + m[gid_nz] + rank
+    bits[idx_hdr] = header
+    nbits[idx_hdr] = 11
+    idx_pay = idx_hdr + K[gid_nz]
+    bits[idx_pay] = payload
+    nbits[idx_pay] = mlen
+
+    return _pack_sliced_groups(bits, nbits, counts)
+
+
+def _codes_timestamps_split_batch(
+    ts_all: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """dod-s payload bytes for MANY chunks in one vectorized pass (twin of
+    per-group _codes_timestamps_split + _pack_groups; equality-pinned)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    ts = np.asarray(ts_all, dtype=np.int64)
+    G = len(starts)
+    lens = ends - starts
+    m1 = lens - 1  # delta count per group
+    m2 = np.maximum(lens - 2, 0)  # dod count per group
+
+    first_mask = np.zeros(len(ts), dtype=bool)
+    first_mask[starts] = True
+    dr = np.empty(len(ts), dtype=np.int64)
+    dr[1:] = ts[1:] - ts[:-1]
+    dr[0] = 0
+    d = dr[~first_mask]  # compact deltas, Σm1 long, group-contiguous
+
+    d1off = np.concatenate([[0], np.cumsum(m1)])
+    dstart_mask = np.zeros(len(d) + 1, dtype=bool)
+    dstart_mask[d1off] = True
+    dstart_mask = dstart_mask[: len(d)]
+    ddr = np.empty(len(d), dtype=np.int64)
+    if len(d):
+        ddr[1:] = d[1:] - d[:-1]
+        ddr[0] = 0
+    dod = ddr[~dstart_mask]  # Σm2 long
+
+    cls = np.full(len(dod), 4, dtype=np.int64)
+    cls[(dod >= -2047) & (dod <= 2048)] = 3
+    cls[(dod >= -255) & (dod <= 256)] = 2
+    cls[(dod >= -63) & (dod <= 64)] = 1
+    cls[dod == 0] = 0
+    width = _DOD_S_WIDTH[cls]
+    pay = np.where(cls == 4, dod.view(np.uint64), (dod - _DOD_S_LO[cls]).astype(np.uint64))
+    hasp = width > 0
+
+    hc = np.concatenate([[0], np.cumsum(hasp.astype(np.int64))])
+    d2off = np.concatenate([[0], np.cumsum(m2)])
+    H = hc[d2off[1:]] - hc[d2off[:-1]]  # payload count per group
+
+    multi = (lens >= 2).astype(np.int64)  # head + d0 only when n >= 2
+    counts = 1 + multi + m2 + H
+    off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    T = int(counts.sum())
+    bits = np.empty(T, dtype=np.uint64)
+    nbits = np.empty(T, dtype=np.int64)
+
+    bits[off] = ts[starts].astype(np.uint64)
+    nbits[off] = 64
+    mg = multi.astype(bool)
+    bits[off[mg] + 1] = d[d1off[:-1][mg]].view(np.uint64) if len(d) else 0
+    nbits[off[mg] + 1] = 64
+
+    gid = np.repeat(np.arange(G, dtype=np.int64), m2)
+    wi = _seg_arange(m2)
+    idx_cls = off[gid] + 2 + wi
+    bits[idx_cls] = cls.astype(np.uint64)
+    nbits[idx_cls] = 3
+
+    gid_h = gid[hasp]
+    rank = (hc[1:][hasp] - hc[d2off[gid_h]]) - 1
+    idx_pay = off[gid_h] + 2 + m2[gid_h] + rank
+    bits[idx_pay] = pay[hasp]
+    nbits[idx_pay] = width[hasp]
+
+    return _pack_sliced_groups(bits, nbits, counts)
+
+
 def _seg_arange(lens: np.ndarray) -> np.ndarray:
     """[0..lens[0]) ++ [0..lens[1]) ... as one array (no Python loop)."""
     lens = np.asarray(lens, dtype=np.int64)
@@ -711,12 +880,12 @@ def encode_chunks(
         change[1:] = key_neq | (chunks[1:] != chunks[:-1])
         starts = np.nonzero(change)[0]
         ends = np.append(starts[1:], n_rows)
-        ts_codes = [
-            _codes_timestamps_split(ts_all[s:e]) for s, e in zip(starts, ends)
-        ]
-        val_codes = [
-            _codes_values_split(v_all[s:e]) for s, e in zip(starts, ends)
-        ]
+        # cross-group batch encode: every section computed globally and
+        # scatter-assembled (bit-identical to the per-group path, which
+        # cost one Python-level call per chunk — the encode stage's former
+        # scaling ceiling)
+        ts_blobs = _codes_timestamps_split_batch(ts_all, starts, ends)
+        val_blobs = _codes_values_split_batch(v_all, starts, ends)
         g = len(starts)
         yield pa.RecordBatch.from_arrays(
             [
@@ -726,8 +895,8 @@ def encode_chunks(
                 pa.array((ends - starts).astype(np.int32), pa.int32()),
                 pa.array(["dod-s"] * g, pa.string()),
                 pa.array(["gorilla-s"] * g, pa.string()),
-                pa.array(_pack_groups(ts_codes), pa.binary()),
-                pa.array(_pack_groups(val_codes), pa.binary()),
+                pa.array(ts_blobs, pa.binary()),
+                pa.array(val_blobs, pa.binary()),
             ],
             schema=pa_out,
         )

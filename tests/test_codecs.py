@@ -198,3 +198,37 @@ def test_split_codec_roundtrip_hypothesis():
 
     check_values()
     check_ts()
+
+
+def test_batch_split_encoders_match_per_group():
+    """The cross-group batch encoders must be BIT-IDENTICAL to mapping the
+    per-group encoders over every (start, end) slice — randomized group
+    layouts, equal-run-heavy values, irregular timestamps."""
+    from symtseries_spark.operators.codecs import (
+        _codes_timestamps_split,
+        _codes_timestamps_split_batch,
+        _codes_values_split,
+        _codes_values_split_batch,
+        _pack_groups,
+    )
+
+    rng = np.random.RandomState(42)
+    for _ in range(15):
+        G = rng.randint(1, 40)
+        lens = rng.randint(1, 60, size=G)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        ends = np.cumsum(lens)
+        n = int(ends[-1])
+        v = rng.randn(n)
+        v[rng.rand(n) < 0.3] = 1.5
+        ts = np.cumsum(
+            rng.choice([60_000_000, 60_000_000, 61_000_000, 120_000_000, 1], size=n)
+        ).astype(np.int64)
+        ref_v = _pack_groups(
+            [_codes_values_split(v[s:e]) for s, e in zip(starts, ends)]
+        )
+        assert ref_v == _codes_values_split_batch(v, starts, ends)
+        ref_t = _pack_groups(
+            [_codes_timestamps_split(ts[s:e]) for s, e in zip(starts, ends)]
+        )
+        assert ref_t == _codes_timestamps_split_batch(ts, starts, ends)
