@@ -370,12 +370,23 @@ def mindist_batch(
     return d, above, below
 
 
+def frame_full_mask(series: np.ndarray, w: int) -> int:
+    """Bitmask (bit f set ⇔ PAA frame f has every raw slot finite) for a
+    single raw series — the query-side twin of the per-row ``frame_full``
+    column that symbolize_windows emits."""
+    q = np.asarray(series, dtype=np.float64)
+    fs = len(q) // w
+    fin = np.isfinite(q[: fs * w]).reshape(w, fs).all(axis=1)
+    return int((fin.astype(np.int64) << np.arange(w, dtype=np.int64)).sum())
+
+
 def mindist_lb_batch(
     qa: np.ndarray,
     cands: np.ndarray,
     c: int,
     fs: int,
     frame_full: np.ndarray,
+    q_frame_full: int,
 ) -> np.ndarray:
     """TRUE lower bound of the z-normalized Euclidean refine distance.
 
@@ -385,16 +396,20 @@ def mindist_lb_batch(
     never be used for pruning. This variant is bound-safe:
 
       * a frame contributes ``fs * cell(a, b)**2`` ONLY when both symbols
-        are real AND the candidate frame is fully finite (``frame_full``
-        bit set) — then the textbook PAA argument applies per frame:
+        are real AND both the candidate frame and the QUERY frame are fully
+        finite (``frame_full`` / ``q_frame_full`` bits set) — then the
+        textbook PAA argument applies per frame:
         sum_i (zq_i - zc_i)^2 >= fs * (paa_q - paa_c)^2 >= fs * cell^2;
-      * sentinel or partially-missing frames contribute 0 (their refine
-        contribution is >= 0 by construction, since the refine metric
-        zeroes non-finite positions).
+      * sentinel or partially-missing frames (on either side) contribute 0.
+        A PARTIALLY-finite frame still gets a real symbol (from the finite
+        subset's PAA mean), but the refine metric zeroes positions missing
+        on either side — the remaining sub-frame mean is NOT constrained by
+        the symbol, so charging such a frame would over-estimate and cause
+        false dismissals.
 
-    qa: (w,) query symbols from a FULLY-FINITE query series (any '#' query
-    frame contributes 0 anyway). cands: (B, w). frame_full: (B,) int64
-    bitmask, bit f = candidate frame f fully finite. fs = n // w.
+    qa: (w,) query symbols. cands: (B, w). frame_full: (B,) int64 bitmask,
+    bit f = candidate frame f fully finite. q_frame_full: scalar bitmask
+    for the query series (kernel.frame_full_mask). fs = n // w.
     Requires the refine metric to share the symbolizer's STAT_EPS
     stationary guard (z := 0 when std < STAT_EPS) so word symbols always
     encode the sector of the refine-space PAA mean.
@@ -407,7 +422,8 @@ def mindist_lb_batch(
     full = (
         (np.asarray(frame_full, dtype=np.int64)[:, None] >> np.arange(w)) & 1
     ).astype(bool)
-    ok = (a != c) & (cands != c) & full
+    q_full = ((int(q_frame_full) >> np.arange(w)) & 1).astype(bool)
+    ok = (a != c) & (cands != c) & full & q_full[None, :]
     a_safe = np.where(ok, a, 0)
     b_safe = np.where(ok, cands, 0)
     cells = dist[a_safe, b_safe]

@@ -235,10 +235,13 @@ def lower_bound_scan(
     q = np.asarray(query_series, dtype=np.float64)
     qword = K.symbols_to_string(K.symbolize(q, w, c), c)
     fs = len(q) // w
+    q_frame_full = K.frame_full_mask(q, w)
     compat = with_frame_full(
         index.filter((F.col("w") == w) & (F.col("c") == c)), w, len(q)
     )
-    lb = mindist_lb_udf(qword, c, fs)(F.col("word"), F.col("frame_full"))
+    lb = mindist_lb_udf(qword, c, fs, q_frame_full)(
+        F.col("word"), F.col("frame_full")
+    )
     per_pair = (
         compat.select("word", "frame_full").distinct().withColumn("mindist_lb", lb)
     )

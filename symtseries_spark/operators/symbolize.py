@@ -119,15 +119,19 @@ def mindist_udf(query_word: str, c: int, n_query: int = 0, n_cand: int | None = 
     return _mind
 
 
-def mindist_lb_udf(query_word: str, c: int, fs: int):
+def mindist_lb_udf(query_word: str, c: int, fs: int, q_frame_full: int):
     """pandas UDF: (word, frame_full) → bound-safe lower bound vs the query.
 
     Unlike the reference-parity mindist (farthest-extreme sentinel
     substitution = over-estimate), this is a TRUE lower bound of the
     z-normalized Euclidean refine distance — see kernel.mindist_lb_batch.
-    Used by exact kNN / exact range pruning; never by the compat surface.
+    q_frame_full is the QUERY's own fullness bitmask
+    (kernel.frame_full_mask): partially-missing query frames must
+    contribute 0 or the bound over-estimates. Used by exact kNN / exact
+    range pruning; never by the compat surface.
     """
     q = K.string_to_symbols(query_word, c)
+    qff = int(q_frame_full)
 
     @pandas_udf(DoubleType())
     def _lb(words: pd.Series, frame_full: pd.Series) -> pd.Series:
@@ -135,7 +139,7 @@ def mindist_lb_udf(query_word: str, c: int, fs: int):
             return pd.Series([], dtype=np.float64)
         cands = _symbols_from_strings(words.to_numpy(), c)
         ff = frame_full.to_numpy().astype(np.int64)
-        return pd.Series(K.mindist_lb_batch(q, cands, c, fs, ff))
+        return pd.Series(K.mindist_lb_batch(q, cands, c, fs, ff, qff))
 
     return _lb
 

@@ -213,6 +213,58 @@ def test_lower_bound_is_valid(spark, nan_corpus):
         )
 
 
+def test_lb_partial_query_frame_contributes_zero():
+    """A HALF-missing query frame must contribute 0 to the lower bound.
+
+    Adversarial construction: query frame 1 = [NaN, 3.0] (finite-subset mean
+    extreme-high → real symbol), candidate frame 1 = [-3, 3] (PAA mean 0 →
+    middle symbol) with the query-finite position matching the query value.
+    Charging the frame (the pre-fix behavior, simulated via q_frame_full =
+    all-ones) yields lb > true refine distance — a false dismissal."""
+    n, w, c = 8, 4, 8
+    fs = n // w
+    q = np.array([0.0, 0.1, np.nan, 3.0, 0.2, -0.1, 0.05, -0.2])
+    s = np.array([0.0, 0.1, -3.0, 3.0, 0.2, -0.1, 0.05, -0.2])
+    qsym, csym = K.symbolize(q, w, c), K.symbolize(s, w, c)
+    td = _true_dist(q)
+    euclid = td(s)
+    cff = np.array([K.frame_full_mask(s, w)])
+    qff = K.frame_full_mask(q, w)
+    assert qff == 0b1101  # frame 1 is partially finite
+    lb_new = K.mindist_lb_batch(qsym, csym[None, :], c, fs, cff, qff)[0]
+    lb_old = K.mindist_lb_batch(qsym, csym[None, :], c, fs, cff, (1 << w) - 1)[0]
+    assert lb_new <= euclid + 1e-9
+    assert lb_old > euclid + 1e-9, "construction must be adversarial"
+
+
+def test_exact_knn_half_missing_query_frame(spark):
+    """End-to-end: the adversarial candidate above is the TRUE nearest
+    neighbor; the pre-fix bound would have pruned it."""
+    from symtseries_spark.operators.index import exact_knn
+
+    n, w, c = 8, 4, 8
+    q = np.array([0.0, 0.1, np.nan, 3.0, 0.2, -0.1, 0.05, -0.2])
+    near = np.array([0.0, 0.1, -3.0, 3.0, 0.2, -0.1, 0.05, -0.2])
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 1, 1)
+    series = {("near", base): near}
+    rows = [Row(key="near", window_ts=base,
+                word=K.symbols_to_string(K.symbolize(near, w, c), c),
+                w=w, c=c, n=n, series=[float(x) for x in near])]
+    for i in range(80):
+        s = rng.normal(size=n) * 2.0
+        key, wts = f"k{i}", base + dt.timedelta(hours=i + 1)
+        series[(key, wts)] = s
+        rows.append(Row(key=key, window_ts=wts,
+                        word=K.symbols_to_string(K.symbolize(s, w, c), c),
+                        w=w, c=c, n=n, series=[float(x) for x in s]))
+    df = spark.createDataFrame(rows)
+    td = _true_dist(q)
+    brute = sorted(td(s) for s in series.values())[:5]
+    got = exact_knn(df, q, w=w, c=c, k=5).collect()
+    assert [r.euclid for r in got] == pytest.approx(brute, abs=1e-9)
+
+
 def test_promoted_lookup_descends_into_subbucket(spark):
     """Lookup law: result ⊆ base-word bucket; for hot buckets only rows
     whose finer 2c segment letter matches the query's survive; cold-bucket
