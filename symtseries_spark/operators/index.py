@@ -339,6 +339,10 @@ def promoted_lookup(
     match on the base word; hot (split) buckets additionally require the
     query's finer 2c segment letter — so a hot bucket's lookup touches only
     ~1/2 of its rows instead of the whole overfull bucket.
+
+    This is the AD-HOC form (promotion recomputed over the input). The
+    scale path is build_promoted_index + promoted_lookup_indexed: promotion
+    is index maintenance, not query work.
     """
     qword, qprom = promoted_query_word(query_series, w, c, segment)
     promoted = promote_words(
@@ -349,6 +353,82 @@ def promoted_lookup(
         (F.col("word_promoted") == F.col("word"))  # cold: whole bucket
         | (F.col("word_promoted") == qprom)  # hot: matching sub-bucket
     )
+
+
+def build_promoted_index(
+    symbolized: DataFrame,
+    path: str,
+    segment: int,
+    threshold: int,
+    w: int,
+    c: int,
+    n: int,
+    extra_meta: dict | None = None,
+) -> None:
+    """Materialize the iSAX-2.0-promoted inverted index (the index-
+    maintenance step the reference marks TODO at symtseries.h:32).
+
+    Promotion (groupBy-count to find hot words + the 2c re-symbolization
+    UDF over hot rows) runs ONCE here; the table is written partitioned by
+    the base word's 2-symbol prefix — an iSAX-tree-style top split with at
+    most (c+1)² directories, so a lookup is partition pruning + a word
+    equality filter, never a corpus scan. Build parameters (and any caller
+    extras, e.g. a stored probe) land in ``_promoted_meta.json`` inside the
+    index dir (the ``_`` prefix hides it from the parquet reader).
+    """
+    import json
+    import os
+
+    promoted = promote_words(
+        symbolized, segment, threshold=threshold, w=w, c=c, n=n
+    )
+    idx = promoted.select(
+        "key",
+        "window_ts",
+        "word",
+        "word_promoted",
+        F.substring("word", 1, 2).alias("prefix"),
+    )
+    # shuffle onto the partition column first: one file per prefix dir
+    idx.repartition("prefix").write.mode("overwrite").partitionBy(
+        "prefix"
+    ).parquet(path)
+    meta = {"segment": segment, "threshold": threshold, "w": w, "c": c, "n": n}
+    meta.update(extra_meta or {})
+    with open(os.path.join(path, "_promoted_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def read_promoted_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_promoted_meta.json")) as f:
+        return json.load(f)
+
+
+def promoted_lookup_indexed(
+    spark, path: str, query_series: np.ndarray
+) -> DataFrame:
+    """Sub-bucket descent against a STORED promoted index: the probe words
+    are pure driver-side kernel math (no Spark jobs), the scan filter hits
+    the ``prefix`` partition column (pruned directory read, plan shows
+    PartitionFilters), and hot buckets return only the matching 2c
+    sub-bucket — same semantics as :func:`promoted_lookup`, none of its
+    per-query recompute."""
+    meta = read_promoted_meta(path)
+    qword, qprom = promoted_query_word(
+        query_series, meta["w"], meta["c"], meta["segment"]
+    )
+    idx = spark.read.parquet(path)
+    return idx.filter(
+        (F.col("prefix") == qword[:2])
+        & (F.col("word") == qword)
+        & (
+            (F.col("word_promoted") == F.col("word"))
+            | (F.col("word_promoted") == qprom)
+        )
+    ).drop("prefix")
 
 
 # ---------------------------------------------------------------------------
@@ -410,11 +490,10 @@ def promote_words(
         return _promote
 
     # w, c, n are constant per call in our engine (fixed SaxConfig); callers
-    # pass them explicitly so no driver-side job runs mid-plan — the .first()
-    # below is only a compatibility fallback.
+    # MUST pass them explicitly — inferring them would run a driver-side
+    # .first() job mid-plan.
     if w is None or c is None or n is None:
-        first = symbolized.select("w", "c", "n").first()
-        w, c, n = int(first.w), int(first.c), int(first.n)
+        raise ValueError("promote_words requires explicit (w, c, n)")
     udf = make_udf(int(w), int(c), int(n))
     return tagged.withColumn(
         "word_promoted",

@@ -312,6 +312,66 @@ def test_promoted_lookup_descends_into_subbucket(spark):
         assert len(got) == nbucket  # cold bucket returned untouched
 
 
+def test_stored_promoted_index_matches_adhoc_and_prunes(spark, tmp_path):
+    """build_promoted_index + promoted_lookup_indexed must (a) return the
+    same rows as the ad-hoc promoted_lookup and (b) read a partition-pruned
+    scan (prefix dir filter in the plan), with zero query-time recompute."""
+    from symtseries_spark.operators.index import (
+        build_promoted_index,
+        promoted_lookup,
+        promoted_lookup_indexed,
+        read_promoted_meta,
+    )
+
+    n, w, c = 16, 4, 2
+    rng = np.random.RandomState(3)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        s = rng.normal(size=n)
+        rows.append(
+            Row(key=f"k{i}", window_ts=base + dt.timedelta(hours=i),
+                word=str(K.Word.from_series(s, w, c)), w=w, c=c, n=n,
+                series=[float(x) for x in s])
+        )
+    df = spark.createDataFrame(rows)
+    from collections import Counter
+
+    hot_word = Counter(r.word for r in rows).most_common(1)[0][0]
+    q = np.array(next(r.series for r in rows if r.word == hot_word))
+
+    path = str(tmp_path / "promoted")
+    build_promoted_index(df, path, segment=0, threshold=10, w=w, c=c, n=n)
+    assert read_promoted_meta(path)["w"] == w
+
+    got = promoted_lookup_indexed(spark, path, q)
+    want = promoted_lookup(df, q, w, c, n, segment=0, threshold=10)
+    key = lambda r: (r.key, r.window_ts)  # noqa: E731
+    got_rows = sorted(got.collect(), key=key)
+    want_rows = sorted(
+        want.select("key", "window_ts", "word", "word_promoted").collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in want_rows]
+    assert got_rows, "hot-bucket probe must be non-vacuous"
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "prefix" in plan
+    # no promotion UDF / aggregation at query time: a pruned scan + filter
+    assert "ArrowEvalPython" not in plan and "HashAggregate" not in plan
+
+
+def test_promote_words_requires_explicit_wcn(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [Row(key="k", window_ts=dt.datetime(2024, 1, 1), word="AB",
+             w=2, c=2, n=4, series=[1.0, 2.0, 3.0, 4.0])]
+    )
+    with _pt.raises(ValueError, match="explicit"):
+        promote_words(df, segment=0, threshold=1)
+
+
 def test_promote_words_splits_hot_bucket(spark):
     # coarse alphabet c=2, w=4 → word space of 16, so random series pile up
     # in shared coarse buckets; promotion to c=4 must subdivide them.
@@ -327,7 +387,7 @@ def test_promote_words_splits_hot_bucket(spark):
                 series=[float(x) for x in s])
         )
     df = spark.createDataFrame(rows)
-    promoted = promote_words(df, segment=0, threshold=10)
+    promoted = promote_words(df, segment=0, threshold=10, w=w, c=c, n=n)
     variants = {}
     for r in promoted.collect():
         variants.setdefault(r.word, set()).add(r.word_promoted)
