@@ -333,7 +333,7 @@ def q_promoted_lookup(spark, sf_dir):
         read_promoted_meta,
     )
 
-    path = _ann_index_dir(sf_dir, "promoted", "s-auto_t20_w12c8n24")
+    path = _ann_index_dir(sf_dir, "promoted", "s-auto_t20_w12c8n24", src="events.parquet")
     if not _index_is_built(path):
         words = _daily_words(spark, sf_dir).persist()
         try:
@@ -367,11 +367,24 @@ def q_promoted_lookup(spark, sf_dir):
     )
 
 
+def _minhash_sig(spark, sf_dir):
+    """STORED MinHash signature table, computed once per corpus snapshot
+    (the scale design: signatures are index maintenance, like the ANN
+    builds) — callers share it across plan branches with no session-
+    lifetime persist()."""
+    path = _ann_index_dir(sf_dir, "mhsig", "p64k5", src="documents.parquet")
+    if not _index_is_built(path):
+        D.minhash_signatures(_docs(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def q_minhash_dupes_docs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    return D.minhash_lsh_dupes(docs, threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
-    )
+    return D.minhash_lsh_dupes(
+        docs, threshold=0.5, sig=_minhash_sig(spark, sf_dir)
+    ).select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
 
 
 def q_simhash_dupes_docs(spark, sf_dir):
@@ -385,9 +398,15 @@ def q_dup_pairs_verified(spark, sf_dir):
     brute-force all-pairs shingle join in DuckDB — the LSH stage must have
     perfect recall at this threshold on the test corpus (16 bands × 4 rows
     ⇒ P[miss | j=0.8] ≈ 2·10⁻⁴ per pair, and the qualifying pairs here sit
-    at j ≥ 0.9)."""
+    at j ≥ 0.9). max_bucket=0 here: the oracle is brute force, so the
+    candidate stage must not drop hot buckets — a qualifying pair colliding
+    only in a dropped bucket would be a guaranteed contract mismatch on an
+    adversarial corpus (the capped variant stays the scale default for the
+    un-oracled minhash_dupes_docs)."""
     docs = _docs(spark, sf_dir)
-    cands = D.minhash_lsh_candidates(docs)
+    cands = D.minhash_lsh_candidates(
+        docs, max_bucket=0, sig=_minhash_sig(spark, sf_dir)
+    )
     j = D.ngram_jaccard(cands, docs)
     return j.filter(F.col("jaccard") >= 0.8).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -409,14 +428,14 @@ def q_doc_quality(spark, sf_dir):
     return docs.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
 
 
-def _ann_index_dir(sf_dir, kind, params: str = ""):
+def _ann_index_dir(sf_dir, kind, params: str = "", src: str = "embeddings.parquet"):
     import hashlib
     import os
 
     # key the cache on source mtime too, so regenerated testdata (or a new
     # round) can never serve a stale index
     try:
-        mt = int(os.path.getmtime(f"{sf_dir}/embeddings.parquet"))
+        mt = int(os.path.getmtime(f"{sf_dir}/{src}"))
     except OSError:
         mt = 0
     h = hashlib.sha1(f"{sf_dir}|{params}|{mt}".encode()).hexdigest()[:10]

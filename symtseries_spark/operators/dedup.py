@@ -256,19 +256,23 @@ def minhash_lsh_dupes(
     bands: int = 16,
     k: int = 5,
     max_bucket: int = 256,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs whose estimated Jaccard (signature agreement) ≥ threshold.
 
     Signatures join back onto the (narrow) candidate pairs — at scale the
     candidate side is small, so Catalyst/AQE broadcasts it against the
     signature table instead of shuffling signatures through the pair dedup.
+
+    The signature table feeds THREE plan branches (banding + two pair
+    rejoins). The scale path is to pass ``sig`` as a STORED signature table
+    (computed once per corpus snapshot, exactly like the ANN indexes — see
+    the entry's _minhash_sig). When ``sig`` is None this function persists
+    a self-computed one; that cache is owned by the returned plan and lives
+    until the session drops it — callers who care should pass sig.
     """
-    # the signature table feeds THREE plan branches (banding + two pair
-    # rejoins); without materialization Catalyst recomputes the signature
-    # UDF over the corpus once per branch. Persist it — in a production
-    # pipeline this is a stored signature table, computed once per corpus
-    # snapshot (exactly like the ANN indexes).
-    sig = minhash_signatures(docs, text_col, id_col, num_perm, k).persist()
+    if sig is None:
+        sig = minhash_signatures(docs, text_col, id_col, num_perm, k).persist()
     pairs = minhash_lsh_candidates(
         docs, text_col, id_col, num_perm, bands, k, max_bucket, sig=sig
     )

@@ -270,11 +270,18 @@ def ivf_topk_indexed(
 def embedding_dupes(
     emb: DataFrame, threshold: float = 0.95, vec_col: str = "embedding",
     id_col: str = "vec_id", bits: int = 12, seed: int = 7,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP bucketing + exact check.
 
-    Pairs meet only inside a shared SRP bucket (equi-join), then the exact
-    cosine filters; same shape as minhash_lsh_dupes.
+    Same scale discipline as minhash_lsh_candidates (dedup.py):
+      * buckets larger than ``max_bucket`` are dropped before the self-join
+        — a degenerate SRP bucket (e.g. zero / boilerplate embeddings) is
+        quadratic in its size and melts the stage at web scale;
+      * the bucket join and the pair-space dedup move (table, bucket,
+        id, id) rows ONLY — the full embedding vectors rejoin onto the
+        (narrow, distinct) candidate pairs afterwards, so no vector arrays
+        travel through the pair-dedup exchange.
     """
     from pyspark.sql.types import DoubleType as _D
 
@@ -283,20 +290,30 @@ def embedding_dupes(
     tables = 2
     b = emb.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(srp_udf(dim, bits, seed, tables)(F.col(vec_col))).alias(
             "table", "bucket"
         ),
     )
-    left = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                    "table", "bucket")
-    right = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                     "table", "bucket")
-    cand = (
+    if max_bucket:
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("table", "bucket"))
+        b = b.withColumn("_bn", cnt).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    left = b.select(F.col("id").alias("id_a"), "table", "bucket")
+    right = b.select(F.col("id").alias("id_b"), "table", "bucket")
+    pairs = (
         left.join(right, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    withA = pairs.join(
+        emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")),
+        "id_a",
+    )
+    withB = withA.join(
+        emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")),
+        "id_b",
     )
 
     @pandas_udf(_D())
@@ -308,8 +325,7 @@ def embedding_dupes(
         return pd.Series((A * B).sum(axis=1))
 
     return (
-        cand.withColumn("cosine", _pair_cos("v_a", "v_b"))
+        withB.withColumn("cosine", _pair_cos("v_a", "v_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )

@@ -177,25 +177,29 @@ def run_pipeline(
             timings[f"job_{name}"] = round(time.time() - j0, 2)
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
-    with ThreadPoolExecutor(3) as pool:
-        futures = [
-            pool.submit(_in_pool, name, f)
-            for name, f in (
-                ("cascades", _cascades),
-                ("index", _index),
-                ("chunks", _chunks),
-            )
-        ]
-        for fut in futures:
-            fut.result()
-    if _old_mpb is None:
-        spark.conf.unset("spark.sql.files.maxPartitionBytes")
-    else:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
-    if _old_oc is None:
-        spark.conf.unset("spark.sql.files.openCostInBytes")
-    else:
-        spark.conf.set("spark.sql.files.openCostInBytes", _old_oc)
+    try:
+        with ThreadPoolExecutor(3) as pool:
+            futures = [
+                pool.submit(_in_pool, name, f)
+                for name, f in (
+                    ("cascades", _cascades),
+                    ("index", _index),
+                    ("chunks", _chunks),
+                )
+            ]
+            for fut in futures:
+                fut.result()
+    finally:
+        # always restore the pinned one-file-per-split confs, even when a
+        # consumer raises — they must not leak into the rest of the session
+        if _old_mpb is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
+        if _old_oc is None:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        else:
+            spark.conf.set("spark.sql.files.openCostInBytes", _old_oc)
     _t = _mark("consumers_concurrent", _t)
 
     # counts read parquet footers directly on the driver (pyarrow) — zero

@@ -277,6 +277,43 @@ def test_embedding_dupes_finds_self_dups(spark, emb):
     assert found >= 3  # SRP buckets keep most identical-ish pairs together
 
 
+def test_embedding_dupes_hot_bucket_cap(spark):
+    """A degenerate SRP bucket (many identical vectors) is quadratic in its
+    size; with max_bucket set its pairs are dropped — bounded work — while
+    isolated near-dup pairs elsewhere still surface."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    hot = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(60)]
+    a = rng.normal(size=4)
+    pair = [(1000, [float(x) for x in a]),
+            (1001, [float(x) for x in a + 1e-5])]
+    emb = spark.createDataFrame(hot + pair, ["vec_id", "embedding"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_dupes(
+            emb, threshold=0.999, bits=2, max_bucket=50
+        ).collect()
+    }
+    assert (1000, 1001) in got
+    assert not any(a < 60 and b < 60 for a, b in got), "hot bucket must be capped"
+    # uncapped: the degenerate bucket's pairs all appear (60·59/2 of them)
+    uncapped = S.embedding_dupes(emb, threshold=0.999, bits=2, max_bucket=0)
+    assert uncapped.filter("id_a < 60 and id_b < 60").count() == 60 * 59 // 2
+
+
+def test_embedding_dupes_pair_dedup_carries_ids_only(spark, emb):
+    """No vector arrays through the pair-dedup exchange: every HashAggregate
+    in the plan groups (id_a, id_b) scalars only — vectors rejoin after."""
+    plan = (
+        S.embedding_dupes(emb, threshold=0.9, bits=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "HashAggregate" in line:
+            assert "v_a" not in line and "v_b" not in line and "embedding" not in line
+
+
 # --- multimodal --------------------------------------------------------------
 
 
