@@ -872,6 +872,220 @@ def _lsh_topk_sql(sf_dir: str | None = None, bits: int = 8, seed: int = 7,
     """
 
 
+def _simhash_dupes_sql(
+    max_hamming: int = 3, max_bucket: int = 256, thresh: float = 0.6,
+    k: int = 8, vk: int = 5,
+) -> str:
+    """DuckDB replica of simhash_dupes — the full ladder replayed in SQL:
+    the k-byte polynomial rolling hash (base/power literals mod 2^64), the
+    murmur3 fmix64 avalanche (64-bit wraparound multiplication done as
+    32-bit split products inside HUGEINT, bitwise steps in UBIGINT),
+    frequency-weighted bit votes, Manku block split with the same bucket
+    cap, the block equi-join candidate generation, bit_count hamming, and
+    the exact character-5-gram Jaccard verification. Texts are ASCII in
+    this corpus, so ord(substr(text, i, 1)) equals the UTF-8 byte the
+    Spark UDF hashes."""
+    BASE = 1099511628211
+    POWERS = [pow(BASE, j, 1 << 64) for j in range(k)]
+    C1 = 0xFF51AFD7ED558CCD
+    C2 = 0xC4CEB9FE1A85EC53
+    M64 = "18446744073709551616::HUGEINT"
+
+    def mulmod(a, c):
+        return (
+            f"((({a} % 4294967296::HUGEINT) * {c}::HUGEINT"
+            f" + ((({a} // 4294967296::HUGEINT) * {c}::HUGEINT)"
+            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {M64})"
+        )
+
+    def xorshift(h):
+        return (
+            f"CAST(xor(CAST({h} AS UBIGINT), CAST({h} AS UBIGINT) >> 33)"
+            f" AS HUGEINT)"
+        )
+
+    fmix = xorshift(mulmod(xorshift(mulmod(xorshift("h0"), C1)), C2))
+    terms = " + ".join(
+        f"ord(substr(text, pos + {j}, 1))::HUGEINT * {POWERS[j]}::HUGEINT"
+        for j in range(k)
+    )
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    bits = ",\n      ".join(
+        f"sum(CASE WHEN (CAST(h AS UBIGINT) >> {b}) & 1 = 1 THEN 2 ELSE 0 END)"
+        f" > count(*) AS b{b}"
+        for b in range(64)
+    )
+    recomb = " + ".join(
+        f"(CASE WHEN v.b{b} THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    vals = ", ".join(
+        f"(usim >> {b * width}) & {(1 << width) - 1}" for b in range(nblocks)
+    )
+    blocks = ", ".join(str(b) for b in range(nblocks))
+    return f"""
+    WITH positions AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - {k} + 2)) AS pos
+      FROM documents WHERE length(text) >= {k}
+    ),
+    wins AS (
+      SELECT doc_id, (({terms}) % {M64}) AS h0 FROM positions
+    ),
+    mixed AS (SELECT doc_id, {fmix} AS h FROM wins),
+    votes AS (
+      SELECT doc_id, {bits} FROM mixed GROUP BY doc_id
+    ),
+    sims AS (
+      SELECT d.doc_id, COALESCE(({recomb}), 0::UBIGINT) AS usim
+      FROM documents d LEFT JOIN votes v USING (doc_id)
+    ),
+    blocks AS (
+      SELECT doc_id, usim,
+             unnest([{blocks}]) AS block, unnest([{vals}]) AS val
+      FROM sims
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY block, val) AS bn FROM blocks
+      ) WHERE bn <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.usim AS ua, b.usim AS ub
+      FROM kept a JOIN kept b ON a.block = b.block AND a.val = b.val
+                            AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT id_a, id_b, bit_count(xor(ua, ub))::INT AS hamming
+      FROM cand WHERE bit_count(xor(ua, ub)) <= {max_hamming}
+    ),
+    pos2 AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {vk - 1})) AS i
+      FROM documents WHERE length(text) >= {vk}
+    ),
+    g AS (SELECT DISTINCT doc_id, substr(text, i, {vk}) AS gram FROM pos2),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    inter AS (
+      SELECT h.id_a, h.id_b, h.hamming, count(*) AS c
+      FROM ham h
+      JOIN g ga ON ga.doc_id = h.id_a
+      JOIN g gb ON gb.doc_id = h.id_b AND gb.gram = ga.gram
+      GROUP BY 1, 2, 3
+    )
+    SELECT i.id_a, i.id_b, i.hamming,
+           round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE c::DOUBLE / (sa.n + sb.n - c) >= {thresh}
+    """
+
+
+def _minhash_dupes_sql(
+    num_perm: int = 64, bands: int = 16, k: int = 5, seed: int = 1,
+    max_bucket: int = 256, thresh: float = 0.5,
+) -> str:
+    """DuckDB replica of minhash_lsh_dupes. Each DISTINCT shingle is hashed
+    once (rolling-hash + fmix64 — same wraparound machinery as the simhash
+    replica), the (A·h + B) mod Mersenne permutations expand over the
+    distinct-gram table, and per-(doc, perm) minima give the signatures.
+    Banding differs from Spark in representation only: Spark buckets on
+    xxhash64 of the band slice, the replica on the slice VALUES — identical
+    pair structure up to 2^-64 xxhash collisions. The bucket cap and the
+    agreement-based jaccard_est replay exactly."""
+    import numpy as np
+
+    MERSENNE = (1 << 61) - 1
+    BASE = 1099511628211
+    POWERS = [pow(BASE, j, 1 << 64) for j in range(k)]
+    C1 = 0xFF51AFD7ED558CCD
+    C2 = 0xC4CEB9FE1A85EC53
+    M64 = "18446744073709551616::HUGEINT"
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, MERSENNE, size=num_perm, dtype=np.uint64)
+    B = rng.randint(0, MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def mulmod(a, c):
+        return (
+            f"((({a} % 4294967296::HUGEINT) * {c}::HUGEINT"
+            f" + ((({a} // 4294967296::HUGEINT) * {c}::HUGEINT)"
+            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {M64})"
+        )
+
+    def xorshift(h):
+        return (
+            f"CAST(xor(CAST({h} AS UBIGINT), CAST({h} AS UBIGINT) >> 33)"
+            f" AS HUGEINT)"
+        )
+
+    fmix = xorshift(mulmod(xorshift(mulmod(xorshift("h0"), C1)), C2))
+    terms = " + ".join(
+        f"ord(substr(gram, {j + 1}, 1))::HUGEINT * {POWERS[j]}::HUGEINT"
+        for j in range(k)
+    )
+    ab_rows = ",".join(
+        f"({p}, {int(A[p])}, {int(B[p])})" for p in range(num_perm)
+    )
+    rows_per_band = num_perm // bands
+    return f"""
+    WITH positions AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - {k} + 2)) AS pos
+      FROM documents WHERE length(text) >= {k}
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, substr(text, pos, {k}) AS gram FROM positions
+    ),
+    dg AS (SELECT DISTINCT gram FROM grams),
+    gh AS (
+      SELECT gram, {fmix} AS h
+      FROM (SELECT gram, (({terms}) % {M64}) AS h0 FROM dg)
+    ),
+    perms(p, a, b) AS (VALUES {ab_rows}),
+    pv AS (
+      SELECT gram, p,
+             (({mulmod('a::HUGEINT', 'h')} + b::HUGEINT) % {M64}
+              % {MERSENNE}::HUGEINT)::BIGINT AS val
+      FROM gh CROSS JOIN perms
+    ),
+    sigv AS (
+      SELECT g.doc_id, pv.p, min(pv.val) AS v
+      FROM grams g JOIN pv USING (gram) GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT d.doc_id, pm.p, COALESCE(s.v, pm.b % {MERSENNE}) AS v
+      FROM documents d CROSS JOIN perms pm
+      LEFT JOIN sigv s ON s.doc_id = d.doc_id AND s.p = pm.p
+    ),
+    bandkeys AS (
+      SELECT doc_id, p // {rows_per_band} AS band,
+             string_agg(v::VARCHAR, ',' ORDER BY p) AS bkey
+      FROM sig GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn FROM bandkeys
+      ) WHERE bn <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey
+                            AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)::DOUBLE
+               / {num_perm} AS j
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(j, 6) AS jaccard_est FROM agree WHERE j >= {thresh}
+    """
+
+
 def _mindist_cellsq_case(qword: str = "DDDDAAAADDDD", c: int = 8) -> str:
     """Per-(frame, letter) squared dist-table cell vs the query word,
     including the reference's farthest-extreme '#' substitution."""
@@ -1154,6 +1368,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _lang_id_sql(),
         "embedding_ivf_topk": _ivf_topk_sql(),
         "embedding_lsh_topk": _lsh_topk_sql(),
+        "simhash_dupes_docs": _simhash_dupes_sql(),
+        "minhash_dupes_docs": _minhash_dupes_sql(),
         "dup_pairs_verified": """
             WITH pos AS (
               SELECT doc_id, text,
