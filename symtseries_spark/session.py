@@ -10,8 +10,33 @@ cluster.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+#: FAIR pool weights ∝ measured consumer work (cascade tiers : iSAX index :
+#: chunk encode ≈ 1 : 2 : 3 serial wall on the r2 ladder). Equal-weight
+#: pools let the heaviest consumer straggle alone at the end of the phase;
+#: work-proportional shares make the three consumers finish together.
+POOL_WEIGHTS = {"cascades": 1, "index": 2, "chunks": 3}
+
+
+def _allocation_file() -> str:
+    pools = "\n".join(
+        f'  <pool name="{name}">\n'
+        f"    <schedulingMode>FIFO</schedulingMode>\n"
+        f"    <weight>{w}</weight>\n"
+        f"    <minShare>0</minShare>\n"
+        f"  </pool>"
+        for name, w in POOL_WEIGHTS.items()
+    )
+    xml = f'<?xml version="1.0"?>\n<allocations>\n{pools}\n</allocations>\n'
+    path = os.path.join(
+        tempfile.gettempdir(), "symtseries_fair_allocation.xml"
+    )
+    with open(path, "w") as f:
+        f.write(xml)
+    return path
 
 
 def get_spark(
@@ -37,6 +62,7 @@ def get_spark(
         # cascade/index/chunks consumers) interleave tasks, filling the
         # stage-transition bubbles that FIFO leaves idle at high core counts
         .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", _allocation_file())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
