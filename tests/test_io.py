@@ -3,6 +3,7 @@ this sandbox; the iceberg branch is exercised for availability detection)."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 
 from symtseries_spark.sources.io import TableIO, iceberg_available
@@ -10,6 +11,28 @@ from symtseries_spark.sources.io import TableIO, iceberg_available
 
 def test_iceberg_detection_is_false_here(spark):
     assert iceberg_available(spark) is False
+
+
+def test_iceberg_catalog_roundtrip(spark, tmp_path):
+    """Real Iceberg catalog round-trip. SKIPPED in this sandbox: the
+    iceberg-spark-runtime jar is not on the classpath and the environment
+    is offline (verified round 3: no *iceberg* jar anywhere on disk). The
+    test body is the real thing — it activates unchanged if a runtime jar
+    ever lands on the classpath."""
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar on the classpath (offline sandbox)")
+    spark.conf.set(
+        "spark.sql.catalog.sandbox", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.sandbox.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.sandbox.warehouse", str(tmp_path / "wh"))
+    io = TableIO(spark, "sandbox.db", fmt="iceberg")
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(key="a", bucket_ts=base, bucket_date=base.date(), v=1.0)]
+    )
+    io.write(df, "rollup", partition_by=("bucket_date",))
+    assert io.read("rollup").count() == 1
 
 
 def test_parquet_round_trip_and_partition_overwrite(spark, tmp_path):
