@@ -468,6 +468,71 @@ def q_embedding_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embedding_dupes(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (SRP bucket candidates + exact
+    cosine ≥ 0.4, bucket-capped, ids-only pair dedup). bits=6 × 4 tables:
+    at cosine 0.4 (θ≈66°) a 6-bit table collides with p≈0.065, four tables
+    ≈ 0.23 — non-vacuous on the near-random synthetic embeddings at every
+    SF while keeping buckets O(corpus/64). Oracled by replaying the literal
+    hyperplane sign assignment in DuckDB (same technique as
+    embedding_lsh_topk)."""
+    emb = _emb(spark, sf_dir)
+    return S.embedding_dupes(
+        emb, threshold=0.4, bits=6, seed=7, tables=4
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _embedding_dupes_sql(
+    sf_dir: str | None = None, bits: int = 6, seed: int = 7,
+    tables: int = 4, thresh: float = 0.4, max_bucket: int = 256,
+) -> str:
+    """DuckDB replica of embedding_dupes: per-row (table, bucket) SRP
+    assignment from the same seeded hyperplane literals, the same bucket
+    cap, ids-only candidate pairs, exact cosine filter."""
+    import numpy as np
+
+    sf_dir = sf_dir or _oracle_sf()
+    _, X = _emb_np(sf_dir)
+    dim = X.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(tables, dim, bits))
+    plane_rows = ",".join(
+        f"({t}, {1 << b}, {_dlist(planes[t, :, b])})"
+        for t in range(tables)
+        for b in range(bits)
+    )
+    return f"""
+        WITH planes(t, w, p) AS (VALUES {plane_rows}),
+        bk AS (
+          SELECT e.vec_id, pl.t,
+                 SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                          THEN pl.w ELSE 0 END)::INT AS bucket
+          FROM embeddings e CROSS JOIN planes pl
+          GROUP BY 1, 2
+        ),
+        kept AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY t, bucket) AS bn FROM bk
+          ) WHERE bn <= {max_bucket}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM kept a JOIN kept b ON a.t = b.t AND a.bucket = b.bucket
+                                AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+          SELECT c.id_a, c.id_b,
+                 list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]) AS cos
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.id_a
+          JOIN embeddings eb ON eb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cosine
+        FROM pairs WHERE cos >= {thresh}
+    """
+
+
 def _emb_np(sf_dir):
     """(vec_ids, X float64) straight from the parquet file — the oracle-
     side twin of the embeddings scan (file order, f32→f64 exact)."""
@@ -1152,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promote_hot_words": q_promote_hot_words,
         "promoted_lookup": q_promoted_lookup,
         "minhash_dupes_docs": q_minhash_dupes_docs,
+        "embedding_dupes": q_embedding_dupes,
         "dup_pairs_verified": q_dup_pairs_verified,
         "simhash_dupes_docs": q_simhash_dupes_docs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1370,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_topk": _lsh_topk_sql(),
         "simhash_dupes_docs": _simhash_dupes_sql(),
         "minhash_dupes_docs": _minhash_dupes_sql(),
+        "embedding_dupes": _embedding_dupes_sql(),
         "dup_pairs_verified": """
             WITH pos AS (
               SELECT doc_id, text,

@@ -42,7 +42,7 @@ targets = [
     "simhash_dupes_docs", "minhash_dupes_docs", "dup_pairs_verified",
     "dedup_exact_docs", "doc_quality", "doc_lang_id",
     "embedding_lsh_topk", "embedding_ivf_topk",
-    "promote_hot_words", "promoted_lookup",
+    "promote_hot_words", "promoted_lookup", "embedding_dupes",
 ]
 oracles = E.oracle_sql()
 qs = E.queries()

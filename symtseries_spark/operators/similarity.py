@@ -270,7 +270,7 @@ def ivf_topk_indexed(
 def embedding_dupes(
     emb: DataFrame, threshold: float = 0.95, vec_col: str = "embedding",
     id_col: str = "vec_id", bits: int = 12, seed: int = 7,
-    max_bucket: int = 256,
+    max_bucket: int = 256, tables: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP bucketing + exact check.
 
@@ -287,7 +287,6 @@ def embedding_dupes(
 
     dim_row = emb.select(F.size(vec_col)).first()
     dim = int(dim_row[0])
-    tables = 2
     b = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(srp_udf(dim, bits, seed, tables)(F.col(vec_col))).alias(
