@@ -814,6 +814,94 @@ def _words_cte() -> str:
     )
 
 
+def _fine_letters_cte() -> str:
+    """+ fine: per-(window, frame) letter at DOUBLED cardinality 2c=16,
+    lowercase-tagged — the iSAX 2.0 split letter. Reuses the Welford stats
+    and per-frame PAA sums of _words_cte (same mu/sd/normed recurrence, so
+    the FP values are bit-identical to the c=8 path); only the breakpoint
+    ladder widens to 15 cells."""
+    from symtseries_spark import kernel as K
+
+    br16 = K.breakpoints(16)
+    idx16 = " + ".join(f"(normed >= {float(b)!r})::INT" for b in br16)
+    return f"""
+        , fine AS (
+          SELECT key, window_ts, f,
+                 CASE WHEN fcnt = 0 THEN '#'
+                      ELSE lower(substr('ABCDEFGHIJKLMNOP', 1 + {idx16}, 1))
+                 END AS fl
+          FROM nx
+        )
+    """
+
+
+def _promote_hot_words_sql(threshold: int = 20) -> str:
+    """DuckDB replica of promote_words(segment=0): buckets over the
+    threshold get segment 0 re-symbolized at 2c (lowercase), cold rows keep
+    their word."""
+    return (
+        _words_cte()
+        + _fine_letters_cte()
+        + f"""
+        , cnts AS (SELECT word, count(*) AS n FROM wd GROUP BY 1)
+        SELECT w.key, w.window_ts, w.word,
+               CASE WHEN c.n > {threshold}
+                    THEN f0.fl || substr(w.word, 2)
+                    ELSE w.word END AS word_promoted
+        FROM wd w
+        JOIN cnts c ON c.word = w.word
+        JOIN fine f0 ON f0.key = w.key AND f0.window_ts = w.window_ts
+                     AND f0.f = 0
+    """
+    )
+
+
+def _promoted_lookup_sql(threshold: int = 20) -> str:
+    """DuckDB replica of the stored-index promoted lookup, INCLUDING the
+    build-time probe selection: hottest word bucket (count desc, word
+    tie-break), split segment = the hot word's first non-'#' position,
+    probe row = the bucket's first (key, window_ts); hot buckets return
+    only rows whose promoted word equals the probe's, cold buckets return
+    whole."""
+    return (
+        _words_cte()
+        + _fine_letters_cte()
+        + f"""
+        , cnts AS (SELECT word, count(*) AS n FROM wd GROUP BY 1)
+        , hot AS (SELECT word, n FROM cnts ORDER BY n DESC, word LIMIT 1)
+        , sg AS (
+          SELECT CASE WHEN length(ltrim(word, '#')) = 0 THEN 0
+                      ELSE length(word) - length(ltrim(word, '#'))
+                 END AS seg
+          FROM hot
+        )
+        , bucket AS (
+          SELECT w.key, w.window_ts, w.word,
+                 CASE WHEN h.n > {threshold}
+                      THEN substr(w.word, 1, s.seg) || f2.fl
+                           || substr(w.word, s.seg + 2)
+                      ELSE w.word END AS word_promoted
+          FROM wd w
+          CROSS JOIN hot h
+          CROSS JOIN sg s
+          JOIN fine f2 ON f2.key = w.key AND f2.window_ts = w.window_ts
+                       AND f2.f = s.seg
+          WHERE w.word = h.word
+        )
+        , probe AS (SELECT key, window_ts FROM bucket ORDER BY key, window_ts LIMIT 1)
+        , qp AS (
+          SELECT b.word_promoted AS v
+          FROM bucket b JOIN probe p ON b.key = p.key
+                                     AND b.window_ts = p.window_ts
+        )
+        SELECT b.key, b.window_ts, b.word, b.word_promoted
+        FROM bucket b CROSS JOIN hot h CROSS JOIN qp
+        WHERE CASE WHEN h.n > {threshold}
+                   THEN b.word_promoted = qp.v ELSE TRUE END
+    """
+    )
+
+
 def _lang_id_sql() -> str:
     """DuckDB replica of text.lang_id_udf: per-language trigram hit counts
     via non-overlapping replace-counts (equals pandas str.count for literal
@@ -1437,6 +1525,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dupes_docs": _simhash_dupes_sql(),
         "minhash_dupes_docs": _minhash_dupes_sql(),
         "embedding_dupes": _embedding_dupes_sql(),
+        "promote_hot_words": _promote_hot_words_sql(),
+        "promoted_lookup": _promoted_lookup_sql(),
         "dup_pairs_verified": """
             WITH pos AS (
               SELECT doc_id, text,
