@@ -814,6 +814,165 @@ def _words_cte() -> str:
     )
 
 
+def _fingerprint_sql() -> str:
+    """DuckDB replica of Spark's built-in xxhash64 (XXH64, seed 42) over
+    the UTF-8 text bytes — verified bit-for-bit against F.xxhash64 via a
+    Python reference (scratch/proto_xxhash64*.py). 64-bit wraparound
+    multiplies use 32-bit split products inside HUGEINT, rotations are
+    pure div/mod arithmetic, xors/shifts run in UBIGINT; the 32-byte
+    stripe loop is a recursive CTE and the ≤31-byte tail is unrolled into
+    chained CTE stages (3×8B, 1×4B, 3×1B). ASCII corpus ⇒ ord(substr) is
+    the UTF-8 byte."""
+    P1 = 0x9E3779B185EBCA87
+    P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9
+    P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5
+    SEED = 42
+    M64 = "18446744073709551616::HUGEINT"
+    W = 1 << 64
+
+    def mulmod(a, c):
+        cc = f"{c}::HUGEINT" if isinstance(c, int) else f"({c})"
+        return (
+            f"((({a}) % 4294967296::HUGEINT) * {cc}"
+            f" + (((({a}) // 4294967296::HUGEINT) * {cc}) % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT) % {M64}"
+        )
+
+    def mulmod_big(a, b):
+        return (
+            f"(((({a}) % 4294967296::HUGEINT) * (({b}) % 4294967296::HUGEINT)"
+            f" + (((({a}) % 4294967296::HUGEINT) * (({b}) // 4294967296::HUGEINT)"
+            f" + (({a}) // 4294967296::HUGEINT) * (({b}) % 4294967296::HUGEINT))"
+            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {M64})"
+        )
+
+    def addm(a, b):
+        return f"((({a}) + ({b})) % {M64})"
+
+    def rotl(x, r):
+        lo = 1 << (64 - r)
+        return (
+            f"((({x}) % {lo}::HUGEINT) * {1 << r}::HUGEINT"
+            f" + (({x}) // {lo}::HUGEINT))"
+        )
+
+    def xor(a, b):
+        return (
+            f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT))"
+            f" AS HUGEINT)"
+        )
+
+    def shr(x, r):
+        return f"(({x}) // {1 << r}::HUGEINT)"
+
+    def lane(pos, nbytes):
+        terms = " + ".join(
+            f"ord(substr(text, (({pos}) + {j})::BIGINT, 1))::HUGEINT"
+            f" * {1 << (8 * j)}::HUGEINT"
+            for j in range(nbytes)
+        )
+        return f"(({terms}) % {M64})"
+
+    def rnd(acc, inp):
+        return mulmod(
+            rotl(addm(acc, mulmod_big(inp, f"{P2}::HUGEINT")), 31), P1
+        )
+
+    def merge(h, v):
+        return addm(mulmod(xor(h, rnd("0::HUGEINT", v)), P1), f"{P4}::HUGEINT")
+
+    v_init = {
+        1: (SEED + P1 + P2) % W, 2: (SEED + P2) % W,
+        3: SEED % W, 4: (SEED - P1) % W,
+    }
+    step = {
+        i: rnd(f"v{i}", lane(f"st.i * 32 + {(i - 1) * 8} + 1", 8))
+        for i in (1, 2, 3, 4)
+    }
+    hmerge = addm(
+        addm(rotl("v1", 1), rotl("v2", 7)),
+        addm(rotl("v3", 12), rotl("v4", 18)),
+    )
+    for i in (1, 2, 3, 4):
+        hmerge = merge(hmerge, f"v{i}")
+    s8 = addm(
+        mulmod(rotl(xor("h", rnd("0::HUGEINT", lane("p + 1", 8))), 27), P1),
+        f"{P4}::HUGEINT",
+    )
+    s4 = addm(
+        mulmod(rotl(xor("h", mulmod(lane("p + 1", 4), P1)), 23), P2),
+        f"{P3}::HUGEINT",
+    )
+    s1 = mulmod(
+        rotl(
+            xor(
+                "h",
+                mulmod("ord(substr(text, (p + 1)::BIGINT, 1))::HUGEINT", P5),
+            ),
+            11,
+        ),
+        P1,
+    )
+
+    def tail_stage(name, prev, cond_len, step_expr, adv):
+        return f"""
+    {name} AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n - p >= {cond_len} THEN {step_expr} ELSE h END AS h,
+             CASE WHEN n - p >= {cond_len} THEN p + {adv} ELSE p END AS p
+      FROM {prev}
+    )"""
+
+    stages, prev = "", "h0"
+    for k in range(3):
+        stages += "," + tail_stage(f"t8_{k}", prev, 8, s8, 8)
+        prev = f"t8_{k}"
+    stages += "," + tail_stage("t4", prev, 4, s4, 4)
+    prev = "t4"
+    for k in range(3):
+        stages += "," + tail_stage(f"t1_{k}", prev, 1, s1, 1)
+        prev = f"t1_{k}"
+    ava_steps = [
+        mulmod(xor("h", shr("h", 33)), P2),
+        mulmod(xor("h", shr("h", 29)), P3),
+        xor("h", shr("h", 32)),
+    ]
+    for k, ex in enumerate(ava_steps):
+        stages += f""",
+    av{k} AS (SELECT doc_id, ({ex}) AS h FROM {prev})"""
+        prev = f"av{k}"
+
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, length(text)::HUGEINT AS n FROM documents
+    ),
+    st AS (
+      SELECT doc_id, text, n, 0::HUGEINT AS i,
+             {v_init[1]}::HUGEINT AS v1, {v_init[2]}::HUGEINT AS v2,
+             {v_init[3]}::HUGEINT AS v3, {v_init[4]}::HUGEINT AS v4
+      FROM t WHERE n >= 32
+      UNION ALL
+      SELECT st.doc_id, st.text, st.n, st.i + 1,
+             {step[1]}, {step[2]}, {step[3]}, {step[4]}
+      FROM st WHERE (st.i + 1) * 32 <= st.n
+    ),
+    conv AS (
+      SELECT doc_id, text, n, {hmerge} AS h, (n // 32) * 32 AS p
+      FROM st WHERE i = n // 32
+      UNION ALL
+      SELECT doc_id, text, n, {(SEED + P5) % W}::HUGEINT AS h, 0::HUGEINT AS p
+      FROM t WHERE n < 32
+    ),
+    h0 AS (SELECT doc_id, text, n, {addm('h', 'n')} AS h, p FROM conv){stages}
+    SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN h - {M64} ELSE h END AS BIGINT) AS fingerprint
+    FROM {prev}
+    """
+
+
 def _fine_letters_cte() -> str:
     """+ fine: per-(window, frame) letter at DOUBLED cardinality 2c=16,
     lowercase-tagged — the iSAX 2.0 split letter. Reuses the Welford stats
@@ -1527,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dupes": _embedding_dupes_sql(),
         "promote_hot_words": _promote_hot_words_sql(),
         "promoted_lookup": _promoted_lookup_sql(),
+        "doc_fingerprints": _fingerprint_sql(),
         "dup_pairs_verified": """
             WITH pos AS (
               SELECT doc_id, text,

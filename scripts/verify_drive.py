@@ -43,6 +43,7 @@ targets = [
     "dedup_exact_docs", "doc_quality", "doc_lang_id",
     "embedding_lsh_topk", "embedding_ivf_topk",
     "promote_hot_words", "promoted_lookup", "embedding_dupes",
+    "doc_fingerprints",
 ]
 oracles = E.oracle_sql()
 qs = E.queries()
