@@ -68,15 +68,65 @@ def quality_score(col: str = "text") -> Column:
     return score.alias("quality")
 
 
-#: tiny deterministic per-language trigram profiles. Real profiles would be
-#: trained offline and broadcast; the *plumbing* (UDF shape, scoring) is the
-#: production path. Marked as a stub per task instructions.
+#: deterministic per-language n-gram profiles built from public linguistic
+#: knowledge: each language's highest-frequency function words and
+#: characteristic character sequences (the classic Cavnar–Trenkle n-gram
+#: profile approach, hand-compacted). Spaces anchor word boundaries; no
+#: regex metacharacters (pandas str.count compiles the pattern). A trained
+#: profile table would be broadcast in exactly this shape — the scoring
+#: path (vectorized hit counts, argmax, first-language tie-break, 0→'und')
+#: is the production path either way.
 _LANG_PROFILES = {
-    "en": ["the", "and", "ing", "ion", "ent"],
-    "de": ["der", "sch", "ein", "ich", "und"],
-    "fr": ["les", "ent", "que", "ion", "des"],
-    "es": ["que", "los", "ión", "ado", "nte"],
-    "ru": ["ого", "ени", "ть ", "при", "ост"],
+    "en": [
+        " the ", " and ", " of ", " to ", " in ", " is ", " that ", " for ",
+        " with ", " was ", " are ", " this ", "ing ", "tion", " have ",
+        " not ", " but ", " from ", " they ", " which ",
+    ],
+    "de": [
+        " der ", " die ", " und ", " das ", " ist ", " nicht ", " mit ",
+        " ein ", " eine ", " auf ", " für ", " von ", " den ", " dem ",
+        "sch", "ung ", "lich", " werden ", " auch ", " sich ",
+    ],
+    "fr": [
+        " les ", " des ", " est ", " dans ", " que ", " qui ", " pour ",
+        " une ", " sur ", " avec ", " pas ", " par ", " plus ", " mais ",
+        "tion", "ment ", " être ", " sont ", " nous ", " vous ",
+    ],
+    "es": [
+        " que ", " los ", " las ", " por ", " con ", " para ", " una ",
+        " del ", " está ", " como ", " más ", " pero ", " sus ", " este ",
+        "ción", "ado ", "mente ", " ser ", " también ", " muy ",
+    ],
+    "it": [
+        " che ", " della ", " per ", " con ", " una ", " del ", " sono ",
+        " nel ", " più ", " anche ", " come ", " questo ", " alla ",
+        "zione", "mente ", " gli ", " degli ", " essere ", " molto ", " dal ",
+    ],
+    "pt": [
+        " que ", " não ", " uma ", " com ", " para ", " dos ", " mais ",
+        " como ", " foi ", " são ", " pelo ", " sua ", " este ", " também ",
+        "ção", "mente ", "ão ", " ser ", " muito ", " das ",
+    ],
+    "nl": [
+        " het ", " een ", " van ", " dat ", " niet ", " met ", " voor ",
+        " zijn ", " aan ", " ook ", " maar ", " als ", " dan ", " deze ",
+        "ijk", "sch", " werd ", " wordt ", " naar ", " door ",
+    ],
+    "ru": [
+        " и ", " в ", " не ", " на ", " что ", " это ", " как ", " его ",
+        " для ", " был ", "ого ", "ени", "ость", "ать ", " или ", " при ",
+        " также ", " из ", " по ", " так ",
+    ],
+    "pl": [
+        " nie ", " się ", " jest ", " dla ", " tym ", " jak ", " ale ",
+        " oraz ", " przez ", " być ", "ych ", "ego ", "ość", "nie ",
+        " który ", " która ", " tego ", " jako ", " przy ", " tylko ",
+    ],
+    "tr": [
+        " bir ", " ve ", " bu ", " için ", " ile ", " olarak ", " daha ",
+        " gibi ", " ancak ", " olan ", "lar ", "ler ", "ında", "inde",
+        " değil ", " çok ", " sonra ", " kadar ", " ama ", " yeni ",
+    ],
 }
 
 

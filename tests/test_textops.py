@@ -55,6 +55,32 @@ def test_lang_id_heuristic(spark):
     assert got[0] == "en" and got[1] == "de" and got[2] == "und"
 
 
+def test_lang_id_discriminates_ten_languages(spark):
+    """One natural sample sentence per profiled language — the function-
+    word n-gram profiles must classify every one correctly."""
+    samples = {
+        "en": "the house is not far from the station and they have a map",
+        "de": "das haus ist nicht weit von der station und auch sehr schön",
+        "fr": "les maisons sont dans la ville et nous avons plus de temps pour les voir",
+        "es": "las casas están en la ciudad y también son muy grandes para este pueblo",
+        "it": "le case sono nella città e anche molto grandi per questo paese",
+        "pt": "as casas são muito grandes e também ficam perto da cidade que pelo visto cresce",
+        "nl": "het huis is niet ver van het station en ook deze straat is mooi",
+        "ru": "это дом и он не так далеко от станции как при этом кажется",
+        "pl": "ten dom nie jest daleko od stacji ale dla nas to tylko początek",
+        "tr": "bu ev istasyondan çok uzak değil ve daha yeni bir bina gibi",
+    }
+    rows = [Row(lang=lg, text=t) for lg, t in samples.items()]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.lang: r.pred
+        for r in df.select(
+            "lang", T.lang_id_udf()("text").alias("pred")
+        ).collect()
+    }
+    assert got == {lg: lg for lg in samples}, got
+
+
 # --- dedup -------------------------------------------------------------------
 
 
