@@ -22,17 +22,23 @@ POOL_WEIGHTS = {"cascades": 1, "index": 2, "chunks": 3}
 
 
 def _allocation_file() -> str:
+    env = os.environ.get("SYMT_POOL_WEIGHTS")  # e.g. "1,1,1" for an A/B
+    weights = dict(POOL_WEIGHTS)
+    if env:
+        for name, w in zip(POOL_WEIGHTS, env.split(",")):
+            weights[name] = int(w)
     pools = "\n".join(
         f'  <pool name="{name}">\n'
         f"    <schedulingMode>FIFO</schedulingMode>\n"
         f"    <weight>{w}</weight>\n"
         f"    <minShare>0</minShare>\n"
         f"  </pool>"
-        for name, w in POOL_WEIGHTS.items()
+        for name, w in weights.items()
     )
     xml = f'<?xml version="1.0"?>\n<allocations>\n{pools}\n</allocations>\n'
     path = os.path.join(
-        tempfile.gettempdir(), "symtseries_fair_allocation.xml"
+        tempfile.gettempdir(),
+        f"symtseries_fair_allocation_{'_'.join(map(str, weights.values()))}.xml",
     )
     with open(path, "w") as f:
         f.write(xml)
