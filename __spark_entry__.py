@@ -49,6 +49,9 @@ from symtseries_spark.operators import dedup as D
 from symtseries_spark.operators import similarity as S
 from symtseries_spark.operators import text as T
 from symtseries_spark.operators import multimodal as M
+from symtseries_spark.operators import joins as J
+from symtseries_spark.operators.downsample import m4_downsample
+from symtseries_spark.operators.rollup import rollup_quantiles, rollup_distinct
 
 
 def _events(spark, sf_dir):
@@ -1420,6 +1423,128 @@ def _mindist_cellsq_case(qword: str = "DDDDAAAADDDD", c: int = 8) -> str:
 
 
 # --------------------------------------------------------------------------
+# time-series joins / sessions / downsample / cardinality tiers
+# --------------------------------------------------------------------------
+
+
+def q_asof_rollup_1h(spark, sf_dir):
+    """As-of join: each raw event picks up the latest STRICTLY-preceding
+    hourly rollup bucket for its key (union-window formulation — one
+    shuffle, no range-join explosion). Oracle: DuckDB native ASOF JOIN."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), "event_id", "ts", "value"
+    )
+    r1h = _events_rollup(spark, sf_dir, "1h").select(
+        "key", "bucket_ts", F.col("text_len_avg").alias("avg_v")
+    )
+    j = J.asof_join(
+        ev, r1h, on="key", probe_ts="ts", build_ts="bucket_ts",
+        build_cols=("avg_v",), strict=True,
+    )
+    return j.select(
+        "key", "event_id", "ts",
+        F.round("value", 6).alias("value"),
+        F.col("asof_ts").alias("asof_bucket_ts"),
+        F.round("asof_avg_v", 6).alias("asof_avg"),
+    )
+
+
+def q_asof_error_context(spark, sf_dir):
+    """Stream-to-stream as-of with tolerance: each click event joins the
+    most recent error event for the same user within 10 minutes."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), "event_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("key"), "ts",
+        F.col("event_id").alias("err_id"), F.col("value").alias("err_v"),
+    )
+    j = J.asof_join(
+        clicks, errors, on="key", probe_ts="ts", build_ts="ts",
+        build_cols=("err_id", "err_v"), strict=False, tolerance_s=600.0,
+        prefix="last_",
+    )
+    return j.select(
+        "key", "event_id", "ts",
+        F.col("last_err_id").alias("err_event_id"),
+        F.col("last_ts").alias("err_ts"),
+        F.round("last_err_v", 6).alias("err_value"),
+    )
+
+
+def q_user_sessions_30m(spark, sf_dir):
+    """Gap-based sessionization (30 min inactivity) + per-session stats."""
+    ev = _events(spark, sf_dir)
+    s = J.sessionize(ev, "user_id", "ts", 1800.0, order_cols=("event_id",))
+    st = J.session_stats(s, "user_id", "ts", "value")
+    return st.select(
+        F.col("user_id").alias("key"), "session_idx",
+        "session_start", "session_end",
+        F.round("duration_s", 6).alias("duration_s"),
+        "n_events", F.round("sum_v", 6).alias("sum_v"),
+    )
+
+
+def q_rollup_1h_quantiles(spark, sf_dir):
+    """Exact p50/p95 per (key, hour) — Spark built-in ``percentile``
+    (linear interpolation) vs DuckDB quantile_cont. The approx_percentile
+    sketch variant (exact=False) is the 100 TB path; its rel-error is
+    pinned in tests, the exact path is the oracled contract."""
+    ev = _events(spark, sf_dir)
+    q = rollup_quantiles(ev, "user_id", "ts", "value", "1h", (0.5, 0.95))
+    return q.select(
+        "key", "bucket_ts", "cnt",
+        F.round("p50", 6).alias("p50"), F.round("p95", 6).alias("p95"),
+    )
+
+
+def q_daily_active_users(spark, sf_dir):
+    """Distinct-cardinality tier: unique users per day (exact two-phase
+    count_distinct; approx_count_distinct HLL++ is the 10^12-row path,
+    error pinned in tests)."""
+    return rollup_distinct(
+        _events(spark, sf_dir), "ts", "1d", "user_id", exact=True
+    )
+
+
+def q_m4_downsample_1h(spark, sf_dir):
+    """M4 visualization downsample (first/last/min/max per hour pixel) —
+    one hash agg over packed comparable structs, no window sort."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), "ts", "value", "event_id"
+    )
+    m4 = m4_downsample(
+        ev, "key", "ts", "value", tiebreak_col="event_id", bucket_s=3600
+    )
+    sel = ["key", "bucket_ts", "n"] + [
+        F.round(c, 6).alias(c)
+        for c in ("first_v", "last_v", "min_v", "max_v",
+                  "t_first", "t_last", "t_min", "t_max")
+    ]
+    return m4.select(*sel)
+
+
+def q_dedup_clusters_docs(spark, sf_dir):
+    """Near-duplicate CLUSTERS: verified dup pairs (exact 5-gram Jaccard
+    ≥ 0.8 on LSH candidates, max_bucket=0 — the dup_pairs_verified edge
+    set) grouped into connected components via min-label propagation with
+    pointer jumping; every doc gets (cluster_id, is_canonical). Oracle:
+    brute-force pair SQL + recursive-CTE reachability in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    cands = D.minhash_lsh_candidates(
+        docs, max_bucket=0, sig=_minhash_sig(spark, sf_dir)
+    )
+    jac = D.ngram_jaccard(cands, docs)
+    edges = jac.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    cc = D.connected_components(edges, docs.select("doc_id"), id_col="doc_id")
+    return cc.select(
+        "doc_id", "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -1476,6 +1601,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "asof_rollup_1h": q_asof_rollup_1h,
+        "asof_error_context": q_asof_error_context,
+        "user_sessions_30m": q_user_sessions_30m,
+        "rollup_1h_quantiles": q_rollup_1h_quantiles,
+        "daily_active_users": q_daily_active_users,
+        "m4_downsample_1h": q_m4_downsample_1h,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
     }
 
 
@@ -1707,6 +1839,139 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+        """,
+        "asof_rollup_1h": """
+            WITH r AS (
+              SELECT user_id AS key,
+                     date_trunc('hour', ts)::TIMESTAMP AS bucket_ts,
+                     avg(value) AS avg_v
+              FROM events GROUP BY 1, 2
+            )
+            SELECT e.user_id AS key, e.event_id, e.ts,
+                   round(e.value, 6) AS value,
+                   r.bucket_ts AS asof_bucket_ts,
+                   round(r.avg_v, 6) AS asof_avg
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.key AND e.ts > r.bucket_ts
+        """,
+        "asof_error_context": """
+            WITH c AS (
+              SELECT user_id AS key, event_id, ts FROM events
+              WHERE event_type = 'click'
+            ), x AS (
+              SELECT user_id AS key, ts, event_id AS err_id,
+                     value AS err_v
+              FROM events WHERE event_type = 'error'
+            ), j AS (
+              SELECT c.key, c.event_id, c.ts,
+                     x.err_id, x.ts AS err_ts, x.err_v
+              FROM c ASOF LEFT JOIN x
+                ON c.key = x.key AND c.ts >= x.ts
+            )
+            SELECT key, event_id, ts,
+                   CASE WHEN epoch(ts) - epoch(err_ts) <= 600.0
+                        THEN err_id END AS err_event_id,
+                   CASE WHEN epoch(ts) - epoch(err_ts) <= 600.0
+                        THEN err_ts END AS err_ts,
+                   CASE WHEN epoch(ts) - epoch(err_ts) <= 600.0
+                        THEN round(err_v, 6) END AS err_value
+            FROM j
+        """,
+        "user_sessions_30m": """
+            WITH s AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                          THEN 1 ELSE 0 END AS st
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s2 AS (
+              SELECT user_id, ts, value,
+                     (sum(st) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) - 1)::BIGINT AS session_idx
+              FROM s
+            )
+            SELECT user_id AS key, session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_v
+            FROM s2 GROUP BY 1, 2
+        """,
+        "rollup_1h_quantiles": """
+            SELECT user_id AS key,
+                   date_trunc('hour', ts)::TIMESTAMP AS bucket_ts,
+                   count(value) AS cnt,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY 1, 2
+        """,
+        "daily_active_users": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+                   count(DISTINCT user_id) AS n_distinct,
+                   count(*) AS n_rows
+            FROM events GROUP BY 1
+        """,
+        "m4_downsample_1h": """
+            WITH b AS (
+              SELECT user_id AS key,
+                     (floor(epoch(ts) / 3600.0) * 3600)::BIGINT AS bsec,
+                     epoch(ts) AS t, value AS v, event_id AS tb
+              FROM events
+            ), r AS (
+              SELECT key, bsec, t, v,
+                     row_number() OVER (PARTITION BY key, bsec
+                       ORDER BY t, tb, v) AS rf,
+                     row_number() OVER (PARTITION BY key, bsec
+                       ORDER BY t DESC, tb DESC, v DESC) AS rl,
+                     row_number() OVER (PARTITION BY key, bsec
+                       ORDER BY v, t, tb) AS rlo,
+                     row_number() OVER (PARTITION BY key, bsec
+                       ORDER BY v DESC, t DESC, tb DESC) AS rhi,
+                     count(*) OVER (PARTITION BY key, bsec) AS n
+              FROM b
+            )
+            SELECT key, to_timestamp(bsec)::TIMESTAMP AS bucket_ts, n,
+                   round(max(CASE WHEN rf = 1 THEN v END), 6) AS first_v,
+                   round(max(CASE WHEN rl = 1 THEN v END), 6) AS last_v,
+                   round(max(CASE WHEN rlo = 1 THEN v END), 6) AS min_v,
+                   round(max(CASE WHEN rhi = 1 THEN v END), 6) AS max_v,
+                   round(max(CASE WHEN rf = 1 THEN t END), 6) AS t_first,
+                   round(max(CASE WHEN rl = 1 THEN t END), 6) AS t_last,
+                   round(max(CASE WHEN rlo = 1 THEN t END), 6) AS t_min,
+                   round(max(CASE WHEN rhi = 1 THEN t END), 6) AS t_max
+            FROM r GROUP BY 1, 2, n
+        """,
+        "dedup_clusters_docs": """
+            WITH RECURSIVE pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 4)) AS i
+              FROM documents WHERE length(text) >= 5
+            ), g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS gram FROM pos
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+            ), edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), rch AS (
+              SELECT doc_id AS id, doc_id AS lbl FROM documents
+              UNION
+              SELECT e.d, rch.lbl FROM rch JOIN edges e ON e.s = rch.id
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_id,
+                   min(lbl) = id AS is_canonical
+            FROM rch GROUP BY id
         """,
         "doc_quality": rf"""
             WITH wq AS (

@@ -44,6 +44,9 @@ targets = [
     "embedding_lsh_topk", "embedding_ivf_topk",
     "promote_hot_words", "promoted_lookup", "embedding_dupes",
     "doc_fingerprints",
+    "asof_rollup_1h", "asof_error_context", "user_sessions_30m",
+    "rollup_1h_quantiles", "daily_active_users", "m4_downsample_1h",
+    "dedup_clusters_docs",
 ]
 oracles = E.oracle_sql()
 qs = E.queries()

@@ -459,3 +459,80 @@ def simhash_dupes(
     return verified.filter(F.col("jaccard") >= verify_threshold).select(
         "id_a", "id_b", "hamming", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the step that
+    turns verified dup PAIRS into dedup GROUPS (keep one representative per
+    component, drop the rest) — the standard last stage of a web-corpus
+    dedup pipeline.
+
+    Min-label propagation with pointer jumping: each round (a) every node
+    takes the min label over itself and its neighbors, (b) labels chase
+    their own label's label (path halving), giving O(log n) rounds on
+    chain-shaped components instead of O(diameter). Each round is two
+    hash-shuffle joins on ids only — labels are (node, label) longs, no
+    payloads ride along. Convergence is checked with one count() action
+    per round (inherent to any iterative fixpoint on Spark; same pattern
+    GraphX/GraphFrames use).
+
+    Returns (id, cluster_id) with cluster_id = min node id reachable.
+    Isolated nodes keep cluster_id = their own id.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+            )
+        )
+        .distinct()
+    )
+    sym.persist()
+    labels = nodes.select(
+        F.col(id_col).alias("n"), F.col(id_col).alias("lbl")
+    )
+    try:
+        for _ in range(max_iter):
+            # (a) neighbor-min: msg(d) = lbl(s) for every edge s->d
+            msgs = sym.join(
+                labels.withColumnRenamed("n", "s"), "s"
+            ).select(F.col("d").alias("n"), "lbl")
+            new = (
+                labels.unionByName(msgs)
+                .groupBy("n")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            # (b) pointer jump: lbl(n) <- lbl(lbl(n))
+            jump = new.alias("x").join(
+                new.select(
+                    F.col("n").alias("lbl"), F.col("lbl").alias("lbl2")
+                ).alias("y"),
+                "lbl",
+                "left",
+            ).select(
+                F.col("n"), F.coalesce("lbl2", "lbl").alias("lbl")
+            )
+            jump.persist()
+            changed = (
+                jump.alias("a")
+                .join(labels.alias("b"), "n")
+                .filter(F.col("a.lbl") != F.col("b.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = jump
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels.select(
+        F.col("n").alias(id_col), F.col("lbl").alias("cluster_id")
+    )

@@ -1,0 +1,70 @@
+"""Visualization-grade downsampling: M4 (min/max/first/last per pixel bucket).
+
+M4 (Jugel et al., "M4: A Visualization-Oriented Time Series Data
+Aggregation", VLDB 2014 — public) is the standard error-free line-chart
+downsample: splitting the time range into one bucket per output pixel and
+keeping the first, last, min, and max point of each bucket reproduces the
+rasterized line exactly while reducing an arbitrarily long series to
+≤ 4·width points.
+
+Spark shape: ONE hash aggregation on (key, bucket) using min/max over
+packed comparable structs — no window pass, no sort, map-side partials do
+almost all the work, so at 10^12 input points the shuffle carries only
+4 structs per (key, pixel). Struct min/max compares lexicographically
+(ts, tiebreak, value), which makes first/last deterministic under equal
+timestamps without a row_number window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Per (key, bucket_s-wide bucket): first/last (by time) and min/max
+    (by value) with their timestamps.
+
+    Returns (key, bucket_ts, n, first_v, last_v, min_v, max_v,
+    t_first, t_last, t_min, t_max) — the 4-tuple M4 needs to draw the
+    bucket's pixel column exactly.
+    """
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    v = F.col(value_col)
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    by_time = F.struct(t.alias("t"), tb.alias("tb"), v.alias("v"))
+    # value-ordered struct: ties on value resolve to the earliest point
+    by_value = F.struct(v.alias("v"), t.alias("t"), tb.alias("tb"))
+    bucket = (F.floor(t / F.lit(float(bucket_s))) * bucket_s).cast("long")
+    return (
+        df.groupBy(F.col(key_col).alias("key"), bucket.alias("_bsec"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(by_time).alias("_f"),
+            F.max(by_time).alias("_l"),
+            F.min(by_value).alias("_lo"),
+            F.max(by_value).alias("_hi"),
+        )
+        .select(
+            "key",
+            F.timestamp_seconds(F.col("_bsec"))
+            .cast(df.schema[ts_col].dataType)
+            .alias("bucket_ts"),
+            "n",
+            F.col("_f.v").alias("first_v"),
+            F.col("_l.v").alias("last_v"),
+            F.col("_lo.v").alias("min_v"),
+            F.col("_hi.v").alias("max_v"),
+            F.col("_f.t").alias("t_first"),
+            F.col("_l.t").alias("t_last"),
+            F.col("_lo.t").alias("t_min"),
+            F.col("_hi.t").alias("t_max"),
+        )
+    )

@@ -161,3 +161,77 @@ def apply_retention(rollup: DataFrame, tier: str, now, horizons: dict) -> DataFr
             f"INTERVAL {int(horizon_s)} SECOND"
         )
     )
+
+
+def rollup_quantiles(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tier: str,
+    probs: tuple = (0.5, 0.95),
+    exact: bool = True,
+) -> DataFrame:
+    """Percentile columns per (key, bucket): p50/p95/... latency-style tiers.
+
+    ``exact=True`` uses Spark's built-in ``percentile`` (linear
+    interpolation, identical to DuckDB's quantile_cont / numpy type-7) —
+    a group-local sort, fine when groups are bounded (one key-bucket holds
+    at most bucket_len/sample_interval points, independent of corpus
+    size). ``exact=False`` switches to ``approx_percentile`` (streaming
+    KLL-style sketch, mergeable map-side) — the 100 TB default when groups
+    can be huge; rel-error 1e-4.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else ", 10000"
+    plist = ", ".join(str(p) for p in probs)
+    bsec = bucket_epoch(ts_col, tier).alias("_bsec")
+    qcol = F.expr(f"{fn}({value_col}, array({plist}){extra})").alias("_q")
+    out = df.groupBy(F.col(key_col).alias("key"), bsec).agg(
+        F.count(value_col).alias("cnt"), qcol
+    )
+    sel = [
+        "key",
+        F.timestamp_seconds(F.col("_bsec"))
+        .cast(df.schema[ts_col].dataType)
+        .alias("bucket_ts"),
+        "cnt",
+    ] + [
+        F.col("_q")[i].alias(f"p{int(round(p * 100))}")
+        for i, p in enumerate(probs)
+    ]
+    return out.select(*sel)
+
+
+def rollup_distinct(
+    df: DataFrame,
+    ts_col: str,
+    tier: str,
+    distinct_col: str = "key",
+    exact: bool = True,
+) -> DataFrame:
+    """Distinct-cardinality tier: unique keys per bucket (DAU-style).
+
+    ``exact=True``: count_distinct — expands to a two-phase partial
+    aggregate on (bucket, key); correct but the distinct set shuffles.
+    ``exact=False``: approx_count_distinct (HyperLogLog++, rsd 1.5 %) —
+    fixed-size mergeable sketch per bucket, the only sane answer at
+    10^12 rows; combine with the exact path in tests to pin the error.
+    """
+    bsec = bucket_epoch(ts_col, tier).alias("_bsec")
+    agg = (
+        F.count_distinct(F.col(distinct_col))
+        if exact
+        else F.approx_count_distinct(distinct_col)
+    ).alias("n_distinct")
+    return (
+        df.groupBy(bsec)
+        .agg(agg, F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.timestamp_seconds(F.col("_bsec"))
+            .cast(df.schema[ts_col].dataType)
+            .alias("bucket_ts"),
+            "n_distinct",
+            "n_rows",
+        )
+    )
