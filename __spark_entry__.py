@@ -976,6 +976,253 @@ def _fingerprint_sql() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# XXH64-over-computed-bytes machinery for the media oracles: the same
+# HUGEINT wraparound arithmetic as _fingerprint_sql, but parametrized over
+# an arbitrary byte accessor so the hash input can be a payload SLICE
+# (media_frames) or a DERIVED buffer (the fake-resize thumb bytes) rather
+# than the whole text column. Inputs here are <= 16 bytes, so only the
+# XXH64 tail path (2x8B, 1x4B, 3x1B) + final avalanche is emitted — no
+# recursive stripe loop needed.
+# --------------------------------------------------------------------------
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_XXH_SEED = 42
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _hmul(a, c):
+    cc = f"{c}::HUGEINT" if isinstance(c, int) else f"({c})"
+    return (
+        f"((({a}) % 4294967296::HUGEINT) * {cc}"
+        f" + (((({a}) // 4294967296::HUGEINT) * {cc}) % 4294967296::HUGEINT)"
+        f" * 4294967296::HUGEINT) % {_M64}"
+    )
+
+
+def _hmul_big(a, b):
+    return (
+        f"(((({a}) % 4294967296::HUGEINT) * (({b}) % 4294967296::HUGEINT)"
+        f" + (((({a}) % 4294967296::HUGEINT) * (({b}) // 4294967296::HUGEINT)"
+        f" + (({a}) // 4294967296::HUGEINT) * (({b}) % 4294967296::HUGEINT))"
+        f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {_M64})"
+    )
+
+
+def _hadd(a, b):
+    return f"((({a}) + ({b})) % {_M64})"
+
+
+def _hrotl(x, r):
+    lo = 1 << (64 - r)
+    return (
+        f"((({x}) % {lo}::HUGEINT) * {1 << r}::HUGEINT"
+        f" + (({x}) // {lo}::HUGEINT))"
+    )
+
+
+def _hxor(a, b):
+    return (
+        f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT))"
+        f" AS HUGEINT)"
+    )
+
+
+def _hshr(x, r):
+    return f"(({x}) // {1 << r}::HUGEINT)"
+
+
+def _hrnd(acc, inp):
+    return _hmul(
+        _hrotl(_hadd(acc, _hmul_big(inp, f"{_XXH_P2}::HUGEINT")), 31),
+        _XXH_P1,
+    )
+
+
+def _xxh64_small_stages(byte, keys, prev, cte_prefix=""):
+    """Chained tail-stage CTEs for XXH64 over inputs < 32 bytes, starting
+    from CTE ``prev`` with columns (keys..., n, h, p) where h is already
+    seed+PRIME5+n. ``byte(pos_sql)`` -> integer byte value, 1-indexed.
+    Returns (stages_sql, final_cte_name, signed_bigint_expr)."""
+    ks = ", ".join(keys)
+
+    def lane(nbytes):
+        terms = " + ".join(
+            f"({byte(f'p + {j + 1}')})::HUGEINT * {1 << (8 * j)}::HUGEINT"
+            for j in range(nbytes)
+        )
+        return f"(({terms}) % {_M64})"
+
+    s8 = _hadd(
+        _hmul(_hrotl(_hxor("h", _hrnd("0::HUGEINT", lane(8))), 27), _XXH_P1),
+        f"{_XXH_P4}::HUGEINT",
+    )
+    s4 = _hadd(
+        _hmul(_hrotl(_hxor("h", _hmul(lane(4), _XXH_P1)), 23), _XXH_P2),
+        f"{_XXH_P3}::HUGEINT",
+    )
+    s1 = _hmul(
+        _hrotl(
+            _hxor("h", _hmul(f"({byte('p + 1')})::HUGEINT", _XXH_P5)), 11
+        ),
+        _XXH_P1,
+    )
+
+    def stage(name, prev, cond_len, step_expr, adv):
+        return f"""
+    {name} AS (
+      SELECT {ks}, n,
+             CASE WHEN n - p >= {cond_len} THEN {step_expr} ELSE h END AS h,
+             CASE WHEN n - p >= {cond_len} THEN p + {adv} ELSE p END AS p
+      FROM {prev}
+    )"""
+
+    stages = ""
+    for k in range(2):
+        stages += "," + stage(f"{cte_prefix}t8_{k}", prev, 8, s8, 8)
+        prev = f"{cte_prefix}t8_{k}"
+    stages += "," + stage(f"{cte_prefix}t4_0", prev, 4, s4, 4)
+    prev = f"{cte_prefix}t4_0"
+    for k in range(3):
+        stages += "," + stage(f"{cte_prefix}t1_{k}", prev, 1, s1, 1)
+        prev = f"{cte_prefix}t1_{k}"
+    ava = [
+        _hmul(_hxor("h", _hshr("h", 33)), _XXH_P2),
+        _hmul(_hxor("h", _hshr("h", 29)), _XXH_P3),
+        _hxor("h", _hshr("h", 32)),
+    ]
+    for k, ex in enumerate(ava):
+        stages += f""",
+    {cte_prefix}av{k} AS (SELECT {ks}, ({ex}) AS h FROM {prev})"""
+        prev = f"{cte_prefix}av{k}"
+    signed = (
+        f"CAST(CASE WHEN h >= 9223372036854775808::HUGEINT"
+        f" THEN h - {_M64} ELSE h END AS BIGINT)"
+    )
+    return stages, prev, signed
+
+
+def _media_features_sql() -> str:
+    """DuckDB replica of q_media_features: the deterministic fake decode
+    kernel (multimodal.decode_image_stub with fake=True) is mean-of-each-
+    8-byte-group over the first 64 payload bytes zero-padded, computed as
+    f64 mean -> f32 cast -> f32 division by 255.0 — replayed here with
+    DuckDB REAL arithmetic (FLOAT/FLOAT stays FLOAT), so the 1e6-quantized
+    serialization is bit-equal. ASCII corpus => ord(substr) is the UTF-8
+    payload byte; positions beyond length(text) are the zero padding."""
+    feats = []
+    for g in range(8):
+        s = " + ".join(
+            f"(CASE WHEN {8 * g + j + 1} <= length(text)"
+            f" THEN ord(substr(text, {8 * g + j + 1}, 1)) ELSE 0 END)"
+            for j in range(8)
+        )
+        f32 = f"(CAST((({s}) / 8.0) AS REAL) / CAST(255.0 AS REAL))"
+        feats.append(
+            f"round(CAST({f32} AS DOUBLE) * 1000000.0)::BIGINT::VARCHAR"
+        )
+    fq = " || ',' || ".join(feats)
+    mime = """
+      CASE
+        WHEN length(text) >= 3 AND ord(substr(text,1,1)) = 255
+             AND ord(substr(text,2,1)) = 216 AND ord(substr(text,3,1)) = 255
+          THEN 'image/jpeg'
+        WHEN length(text) >= 4 AND ord(substr(text,1,1)) = 137
+             AND substr(text,2,3) = 'PNG' THEN 'image/png'
+        WHEN substr(text,1,4) = 'GIF8' THEN 'image/gif'
+        WHEN substr(text,1,4) = 'RIFF' THEN 'audio/wav'
+        WHEN length(text) >= 3 AND ord(substr(text,1,1)) = 0
+             AND ord(substr(text,2,1)) = 0 AND ord(substr(text,3,1)) = 0
+          THEN 'video/mp4'
+        WHEN substr(text,1,4) = '<htm' OR substr(text,1,4) = '<!DO'
+          THEN 'text/html'
+        ELSE 'application/octet-stream'
+      END
+    """
+    return f"""
+    SELECT doc_id AS media_id, {mime} AS mime, {fq} AS feature_q6
+    FROM documents
+    """
+
+
+def _media_frames_sql(every_n: int = 8, max_frames: int = 2) -> str:
+    """DuckDB replica of q_media_frames: XXH64(seed 42) of each sampled
+    16-byte payload slice (multimodal.sample_frames fake frames) and of
+    the 4x4 fake-resize thumb buffer (resize_images: pixel k = floor(mean
+    of source bytes 16k..16k+15 of the first 256, zero-padded) — exact in
+    integer SQL as sum // 16). Frame lengths are clamped to the payload
+    like Python byte slicing, so short docs hash short slices."""
+    npix = 16
+
+    def fbyte(pos):
+        return (
+            f"CASE WHEN off + ({pos}) <= tn"
+            f" THEN ord(substr(text, (off + ({pos}))::BIGINT, 1))"
+            f" ELSE 0 END"
+        )
+
+    fstages, fprev, fsigned = _xxh64_small_stages(
+        fbyte, ["media_id", "frame_idx", "off", "text", "tn"], "fh1"
+    )
+
+    def tbyte(pos):
+        return f"bs[({pos})::BIGINT]"
+
+    tstages, tprev, tsigned = _xxh64_small_stages(
+        tbyte, ["media_id", "bs"], "th0", cte_prefix="u"
+    )
+    src16 = []
+    for k in range(npix):
+        s = " + ".join(
+            f"(CASE WHEN {16 * k + j + 1} <= length(text)"
+            f" THEN ord(substr(text, {16 * k + j + 1}, 1)) ELSE 0 END)"
+            for j in range(16)
+        )
+        src16.append(f"(({s}) // 16)::HUGEINT")
+    bs_list = "[" + ", ".join(src16) + "]"
+    h_init = f"(({(_XXH_SEED + _XXH_P5) % (1 << 64)}::HUGEINT + n) % {_M64})"
+    frames_values = ",".join(f"({i})" for i in range(max_frames))
+    return f"""
+    WITH fr AS (
+      SELECT doc_id AS media_id, v.i AS frame_idx,
+             (v.i * {every_n})::HUGEINT AS off,
+             text, length(text)::HUGEINT AS tn
+      FROM documents, (VALUES {frames_values}) v(i)
+    ),
+    fh0 AS (
+      SELECT media_id, frame_idx, off, text, tn,
+             CASE WHEN tn > off THEN least(16::HUGEINT, tn - off)
+                  ELSE 0::HUGEINT END AS n,
+             0::HUGEINT AS p
+      FROM fr
+    ),
+    fh1 AS (
+      SELECT media_id, frame_idx, off, text, tn, n, {h_init} AS h, p
+      FROM fh0
+    ){fstages},
+    frame_hashes AS (
+      SELECT media_id, frame_idx, {fsigned} AS frame_hash FROM {fprev}
+    ),
+    tb AS (
+      SELECT doc_id AS media_id, {bs_list} AS bs, {npix}::HUGEINT AS n,
+             0::HUGEINT AS p
+      FROM documents
+    ),
+    th0 AS (
+      SELECT media_id, bs, n, {h_init} AS h, p FROM tb
+    ){tstages},
+    thumb_hashes AS (
+      SELECT media_id, {tsigned} AS thumb_hash FROM {tprev}
+    )
+    SELECT f.media_id, f.frame_idx, f.frame_hash, t.thumb_hash
+    FROM frame_hashes f JOIN thumb_hashes t USING (media_id)
+    """
+
+
 def _fine_letters_cte() -> str:
     """+ fine: per-(window, frame) letter at DOUBLED cardinality 2c=16,
     lowercase-tagged — the iSAX 2.0 split letter. Reuses the Welford stats
@@ -1819,6 +2066,8 @@ def oracle_sql() -> dict[str, str]:
         "promote_hot_words": _promote_hot_words_sql(),
         "promoted_lookup": _promoted_lookup_sql(),
         "doc_fingerprints": _fingerprint_sql(),
+        "media_features": _media_features_sql(),
+        "media_frames": _media_frames_sql(),
         "dup_pairs_verified": """
             WITH pos AS (
               SELECT doc_id, text,
