@@ -50,6 +50,7 @@ from symtseries_spark.operators import similarity as S
 from symtseries_spark.operators import text as T
 from symtseries_spark.operators import multimodal as M
 from symtseries_spark.operators import joins as J
+from symtseries_spark.operators import series as SR
 from symtseries_spark.operators.downsample import m4_downsample
 from symtseries_spark.operators.rollup import rollup_quantiles, rollup_distinct
 
@@ -1791,6 +1792,54 @@ def q_dedup_clusters_docs(spark, sf_dir):
     )
 
 
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style reset-corrected counter rate per key (lag window)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), "event_id", "ts", "value"
+    )
+    r = SR.counter_rate(ev, "key", "ts", "value", order_cols=("event_id",))
+    return r.select(
+        "key", "event_id", "ts",
+        F.round("delta", 6).alias("delta"),
+        F.round("rate_per_s", 6).alias("rate_per_s"),
+    )
+
+
+def q_twa_1h(spark, sf_dir):
+    """Time-weighted (locf-weighted) hourly average — burst-robust mean."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), "ts", "value"
+    )
+    t = SR.time_weighted_avg(ev, "key", "ts", "value", 3600)
+    return t.select(
+        "key", "bucket_ts", F.round("twa", 6).alias("twa"), "cnt"
+    )
+
+
+def q_value_histogram_daily(spark, sf_dir):
+    """Fixed-bin value histogram per day (heatmap tier); edge-clamped."""
+    h = SR.histogram_tier(
+        _events(spark, sf_dir), "ts", "value", 86400, 0.0, 200.0, 20
+    )
+    return h.select(
+        "bucket_ts", "bin", F.round("bin_lo", 6).alias("bin_lo"), "n"
+    )
+
+
+def q_daily_top_events(spark, sf_dir):
+    """Top-3 events by value per day — leaderboard per bucket."""
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        "event_id", "value",
+    )
+    top = SR.top_n_per_group(
+        ev, ("bucket_ts",), "value", n=3, tiebreak_cols=("event_id",)
+    )
+    return top.select(
+        "bucket_ts", "rank", "event_id", F.round("value", 6).alias("value")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1855,6 +1904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users": q_daily_active_users,
         "m4_downsample_1h": q_m4_downsample_1h,
         "dedup_clusters_docs": q_dedup_clusters_docs,
+        "counter_rate": q_counter_rate,
+        "twa_1h": q_twa_1h,
+        "value_histogram_daily": q_value_histogram_daily,
+        "daily_top_events": q_daily_top_events,
     }
 
 
@@ -2147,6 +2200,64 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s,
                    count(*) AS n_events, round(sum(value), 6) AS sum_v
             FROM s2 GROUP BY 1, 2
+        """,
+        "counter_rate": """
+            WITH w AS (
+              SELECT user_id AS key, event_id, ts, value,
+                     lag(value) OVER pk AS pv,
+                     epoch(ts) - lag(epoch(ts)) OVER pk AS dt
+              FROM events
+              WINDOW pk AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT key, event_id, ts,
+                   round(CASE WHEN pv IS NULL THEN NULL
+                              WHEN value >= pv THEN value - pv
+                              ELSE value END, 6) AS delta,
+                   round(CASE WHEN pv IS NULL OR dt <= 0 THEN NULL
+                              ELSE (CASE WHEN value >= pv THEN value - pv
+                                         ELSE value END) / dt END, 6)
+                   AS rate_per_s
+            FROM w
+        """,
+        "twa_1h": """
+            WITH b AS (
+              SELECT user_id AS key, epoch(ts) AS t,
+                     (floor(epoch(ts) / 3600.0) * 3600)::BIGINT AS bsec,
+                     value
+              FROM events
+            ), w AS (
+              SELECT key, bsec, value,
+                     coalesce(lead(t) OVER (PARTITION BY key, bsec
+                                            ORDER BY t), bsec + 3600) - t
+                     AS hold
+              FROM b
+            )
+            SELECT key, to_timestamp(bsec)::TIMESTAMP AS bucket_ts,
+                   round(sum(value * hold) / sum(hold), 6) AS twa,
+                   count(*) AS cnt
+            FROM w GROUP BY 1, 2
+        """,
+        "value_histogram_daily": """
+            WITH b AS (
+              SELECT (floor(epoch(ts) / 86400.0) * 86400)::BIGINT AS bsec,
+                     least(greatest(floor(value / 10.0), 0), 19)::INT AS bin
+              FROM events
+            )
+            SELECT to_timestamp(bsec)::TIMESTAMP AS bucket_ts, bin,
+                   round(bin * 10.0, 6) AS bin_lo, count(*) AS n
+            FROM b GROUP BY 1, 2
+        """,
+        "daily_top_events": """
+            WITH r AS (
+              SELECT date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+                     event_id, value,
+                     row_number() OVER (
+                       PARTITION BY date_trunc('day', ts)
+                       ORDER BY value DESC, event_id) AS rank
+              FROM events
+            )
+            SELECT bucket_ts, rank, event_id, round(value, 6) AS value
+            FROM r WHERE rank <= 3
         """,
         "rollup_1h_quantiles": """
             SELECT user_id AS key,

@@ -100,6 +100,9 @@ def main() -> None:
         "minhash_dupes_docs",
         "embedding_topk",
         "dedup_exact_docs",
+        "asof_rollup_1h",
+        "user_sessions_30m",
+        "m4_downsample_1h",
     ]
     qs = E.queries()
     for name in headline:

@@ -47,6 +47,7 @@ targets = [
     "asof_rollup_1h", "asof_error_context", "user_sessions_30m",
     "rollup_1h_quantiles", "daily_active_users", "m4_downsample_1h",
     "dedup_clusters_docs",
+    "counter_rate", "twa_1h", "value_histogram_daily", "daily_top_events",
 ]
 oracles = E.oracle_sql()
 qs = E.queries()
