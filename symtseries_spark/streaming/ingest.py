@@ -194,3 +194,46 @@ def stateful_words(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_expr,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregate — the streaming twin of
+    operators.joins.sessionize + session_stats, built on Spark's native
+    ``session_window`` (gap-merged event-time windows; state is bounded
+    by the watermark horizon, sessions close and emit once the watermark
+    passes their gap).
+
+    Boundary semantics: session_window merges two events iff their gap is
+    STRICTLY LESS than ``gap``; the batch sessionize keeps a gap equal to
+    the threshold in the same session. With real (microsecond) event
+    times an exactly-equal gap has measure zero; the batch==streaming law
+    test pins equivalence on such input.
+    """
+    v = value_expr.cast("double")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.session_window(F.col(ts_col), gap).alias("wnd"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(v).alias("sum_v"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            "key", "session_start", "session_end", "n_events", "sum_v",
+            (
+                F.col("session_end").cast("timestamp").cast("double")
+                - F.col("session_start").cast("timestamp").cast("double")
+            ).alias("duration_s"),
+        )
+    )
