@@ -237,3 +237,25 @@ def streaming_sessions(
             ).alias("duration_s"),
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    id_cols: tuple = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once ingest → effectively-once rows: drop redelivered
+    duplicates by id within the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the streaming twin of the batch
+    exact-dedup operator for event streams where redeliveries arrive
+    within a bounded delay (Kafka replays, task retries).
+
+    State is one entry per id seen inside the horizon and is evicted as
+    the watermark advances — bounded by arrival rate × horizon, never by
+    stream lifetime (the plain ``dropDuplicates`` on a stream keeps ids
+    FOREVER, which is the scale trap this wrapper exists to avoid).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )

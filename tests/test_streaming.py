@@ -289,3 +289,43 @@ def test_streaming_sessions_equals_batch_sessionize(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 10  # the gap mix actually split sessions
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """Redelivered ids within the watermark horizon are dropped: the
+    deduped stream over files containing duplicates equals the batch
+    distinct-by-id set."""
+    from symtseries_spark.streaming.ingest import streaming_dedup
+
+    src = str(tmp_path / "dedup_src")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=base + dt.timedelta(seconds=10 * i),
+            value=float(i))
+        for i in range(40)
+    ]
+    # second batch redelivers half of the first plus 10 new events
+    redelivered = rows[20:40] + [
+        Row(event_id=i, ts=base + dt.timedelta(seconds=10 * i),
+            value=float(i))
+        for i in range(40, 50)
+    ]
+    _write_batches(spark, src, [rows, redelivered])
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["event_id"], r["value"])
+        for r in spark.sql("SELECT * FROM dedup_sink").collect()
+    ]
+    assert len(got) == len(set(got)) == 50  # every id exactly once
