@@ -7,12 +7,16 @@ keeping the first, last, min, and max point of each bucket reproduces the
 rasterized line exactly while reducing an arbitrarily long series to
 ≤ 4·width points.
 
-Spark shape: ONE hash aggregation on (key, bucket) using min/max over
-packed comparable structs — no window pass, no sort, map-side partials do
-almost all the work, so at 10^12 input points the shuffle carries only
-4 structs per (key, pixel). Struct min/max compares lexicographically
-(ts, tiebreak, value), which makes first/last deterministic under equal
-timestamps without a row_number window.
+Spark shape: ONE aggregation on (key, bucket) using min/max over packed
+comparable structs. Struct min/max lowers to SortAggregate (structs are
+not mutable hash-agg buffer types), but the partial aggregate still runs
+map-side: the single exchange carries 4 structs per (key, pixel) —
+output cardinality — where a row_number window formulation would shuffle
+every raw point and sort it three times by different orderings with no
+partial reduction. The per-partition sort is by the group key only
+(pinned in tests/test_plans.py). Struct comparison is lexicographic
+(ts, tiebreak, value), making first/last deterministic under equal
+timestamps.
 """
 
 from __future__ import annotations
