@@ -1649,6 +1649,41 @@ def _minhash_dupes_sql(
     """
 
 
+def _pair_cellsq_case(c: int = 8) -> str:
+    """Squared dist-table cell for an arbitrary LETTER PAIR (a.letter,
+    b.letter), including the reference's sentinel substitution on either
+    side (farthest extreme from the OTHER side's real symbol; both-'#'
+    positions contribute 0) — the SQL twin of kernel.mindist_pairs'
+    per-position term."""
+    from symtseries_spark import kernel as K
+
+    dist = K.dist_matrix(c)
+    letters = [chr(ord("A") + i) for i in range(c)] + ["#"]
+
+    def sym(L):
+        return c - 1 - (ord(L) - ord("A"))
+
+    outer = []
+    for la in letters:
+        inner = []
+        for lb in letters:
+            if la == "#" and lb == "#":
+                cell2 = 0.0
+            elif la == "#":
+                sb = sym(lb)
+                sa = 0 if sb > (c - 1 - sb) else c - 1
+                cell2 = float(dist[sa, sb]) ** 2
+            elif lb == "#":
+                sa = sym(la)
+                sb = 0 if sa > (c - 1 - sa) else c - 1
+                cell2 = float(dist[sa, sb]) ** 2
+            else:
+                cell2 = float(dist[sym(la), sym(lb)]) ** 2
+            inner.append(f"WHEN '{lb}' THEN {cell2!r}")
+        outer.append(f"WHEN '{la}' THEN CASE b.letter {' '.join(inner)} END")
+    return "CASE a.letter " + " ".join(outer) + " END"
+
+
 def _mindist_cellsq_case(qword: str = "DDDDAAAADDDD", c: int = 8) -> str:
     """Per-(frame, letter) squared dist-table cell vs the query word,
     including the reference's farthest-extreme '#' substitution."""
@@ -1792,6 +1827,52 @@ def q_dedup_clusters_docs(spark, sf_dir):
     )
 
 
+def q_sax_discords_daily(spark, sf_dir):
+    """HOT-SAX-style discord discovery (Keogh et al., the canonical SAX
+    application — public): for every key, the daily window whose SAX word
+    is on average FARTHEST (reference mindist, sentinel-substitution
+    semantics) from the key's other daily words — the day that least
+    resembles the series' own history.
+
+    Plan shape: the pairwise mindist UDF runs over DISTINCT (word, word)
+    pairs only (vocabulary² bound, not days²) and broadcast-joins back;
+    the per-key pair blow-up is bounded by the retention horizon
+    (days ≤ 365), never by corpus size."""
+    from symtseries_spark.operators.symbolize import mindist_pair_udf
+    from pyspark.sql import Window as Wn
+
+    wrds = _daily_words(spark, sf_dir).select("key", "window_ts", "word", "n")
+    a, b = wrds.alias("a"), wrds.alias("b")
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("a.window_ts") != F.col("b.window_ts"))
+        .select(
+            "key",
+            F.col("a.window_ts").alias("window_ts"),
+            F.col("a.word").alias("wa"), F.col("b.word").alias("wb"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+    )
+    dp = pairs.select("wa", "wb", "na", "nb").distinct()
+    dd = dp.withColumn("d", mindist_pair_udf(8)("wa", "wb", "na", "nb"))
+    j = pairs.join(F.broadcast(dd), ["wa", "wb", "na", "nb"])
+    agg = (
+        j.filter(~F.isnan("d"))
+        .groupBy("key", "window_ts")
+        .agg(
+            F.round(F.avg("d"), 6).alias("avg_dist"),
+            F.count(F.lit(1)).alias("n_partners"),
+        )
+    )
+    rn = F.row_number().over(
+        Wn.partitionBy("key").orderBy(F.col("avg_dist").desc(), "window_ts")
+    )
+    top = agg.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    return top.join(
+        wrds.select("key", "window_ts", "word"), ["key", "window_ts"]
+    ).select("key", "window_ts", "word", "avg_dist", "n_partners")
+
+
 def q_counter_rate(spark, sf_dir):
     """PromQL-style reset-corrected counter rate per key (lag window)."""
     ev = _events(spark, sf_dir).select(
@@ -1904,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users": q_daily_active_users,
         "m4_downsample_1h": q_m4_downsample_1h,
         "dedup_clusters_docs": q_dedup_clusters_docs,
+        "sax_discords_daily": q_sax_discords_daily,
         "counter_rate": q_counter_rate,
         "twa_1h": q_twa_1h,
         "value_histogram_daily": q_value_histogram_daily,
@@ -2200,6 +2282,31 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s,
                    count(*) AS n_events, round(sum(value), 6) AS sum_v
             FROM s2 GROUP BY 1, 2
+        """,
+        "sax_discords_daily": _words_cte()
+        + f"""
+            , wp AS (
+              SELECT a.key, a.window_ts AS ta, b.window_ts AS tb,
+                     sum({_pair_cellsq_case()}) AS s2
+              FROM sy a
+              JOIN sy b ON a.key = b.key AND a.f = b.f
+                       AND a.window_ts <> b.window_ts
+              GROUP BY 1, 2, 3
+            ), ag AS (
+              SELECT key, ta AS window_ts,
+                     round(avg(sqrt(2.0) * sqrt(s2)), 6) AS avg_dist,
+                     count(*) AS n_partners
+              FROM wp GROUP BY 1, 2
+            ), rk AS (
+              SELECT key, window_ts, avg_dist, n_partners,
+                     row_number() OVER (
+                       PARTITION BY key
+                       ORDER BY avg_dist DESC, window_ts) AS rn
+              FROM ag
+            )
+            SELECT r.key, r.window_ts, w.word, r.avg_dist, r.n_partners
+            FROM rk r JOIN wd w USING (key, window_ts)
+            WHERE rn = 1
         """,
         "counter_rate": """
             WITH w AS (

@@ -48,6 +48,7 @@ targets = [
     "rollup_1h_quantiles", "daily_active_users", "m4_downsample_1h",
     "dedup_clusters_docs",
     "counter_rate", "twa_1h", "value_histogram_daily", "daily_top_events",
+    "sax_discords_daily",
 ]
 oracles = E.oracle_sql()
 qs = E.queries()

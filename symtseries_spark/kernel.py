@@ -370,6 +370,54 @@ def mindist_batch(
     return d, above, below
 
 
+def mindist_pairs(
+    A: np.ndarray,
+    B: np.ndarray,
+    c: int,
+    n_a: np.ndarray,
+    n_b: np.ndarray,
+) -> np.ndarray:
+    """Row-wise mindist between two batches of words: d[i] = mindist(A[i],
+    B[i]) with the reference's exact pair semantics (sentinel positions
+    substitute the extreme farthest from the OTHER side's real symbol,
+    both-sentinel positions contribute 0, incompatible n pairs -> NaN;
+    /root/reference/src/symtseries.c:578-636). The pairwise twin of
+    :func:`mindist_batch` (which broadcasts one query) -- used by discord
+    discovery, where both sides of every pair vary.
+    """
+    A = np.asarray(A, dtype=np.int64)
+    B = np.asarray(B, dtype=np.int64)
+    w = A.shape[1]
+    dist = _DIST[int(c)]
+
+    a = A.copy()
+    b = B.copy()
+    a_nan = a == c
+    b_nan = b == c
+    b_real = np.where(b_nan, 0, b)
+    a_sub = np.where(b_real > (c - 1 - b_real), 0, c - 1)
+    a = np.where(a_nan & ~b_nan, a_sub, a)
+    a_real = np.where(a_nan, 0, A)
+    b_sub = np.where(a_real > (c - 1 - a_real), 0, c - 1)
+    b = np.where(b_nan & ~a_nan, b_sub, b)
+    both = a_nan & b_nan
+    a = np.where(both, 0, a)
+    b = np.where(both, 0, b)
+
+    neq = a != b
+    cells = dist[a, b]
+    sq = np.where(neq, cells * cells, 0.0).sum(axis=1)
+
+    n_a = np.asarray(n_a, dtype=np.int64)
+    n_b = np.asarray(n_b, dtype=np.int64)
+    n_eff = np.where(n_a > 0, n_a.astype(np.float64), n_b.astype(np.float64))
+    n_eff = np.where(n_eff == 0, float(w), n_eff)
+    compat = (n_a == n_b) | (n_a == 0) | (n_b == 0)
+    d = np.sqrt(n_eff / float(w)) * np.sqrt(sq)
+    d[~compat] = np.nan
+    return d
+
+
 def frame_full_mask(series: np.ndarray, w: int) -> int:
     """Bitmask (bit f set ⇔ PAA frame f has every raw slot finite) for a
     single raw series — the query-side twin of the per-row ``frame_full``

@@ -307,3 +307,31 @@ def symbolize_windows(
         )
 
     return df.mapInArrow(_symbolize_partition, out_schema)
+
+
+def mindist_pair_udf(c: int):
+    """pandas UDF: (word_a, word_b, n_a, n_b) → pairwise mindist.
+
+    Both sides vary per row (discord discovery), unlike mindist_udf's
+    one-query-many-candidates closure. Run it over DISTINCT word pairs
+    and broadcast-join back (same vocabulary-bounded-UDF plan rule as the
+    query-side mindist)."""
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _pair(
+        wa: pd.Series, wb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        if len(wa) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = _symbols_from_strings(wa.to_numpy(), c)
+        B = _symbols_from_strings(wb.to_numpy(), c)
+        return pd.Series(
+            K.mindist_pairs(
+                A, B, c,
+                na.to_numpy().astype(np.int64),
+                nb.to_numpy().astype(np.int64),
+            )
+        )
+
+    return _pair

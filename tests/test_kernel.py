@@ -341,3 +341,34 @@ def test_empty_append_is_noop_law():
     w1 = K.Word.from_series(base, 2, 4)
     w2 = K.Word.from_series(list(base), 2, 4)
     assert w1 == w2
+
+
+def test_mindist_pairs_matches_batch_and_sentinel_rules():
+    """mindist_pairs (both sides vary) must agree with mindist_batch
+    (one broadcast query) whenever the left side is held constant, and
+    apply the same sentinel-substitution rules pairwise."""
+    import numpy as np
+
+    from symtseries_spark import kernel as K
+
+    rng = np.random.RandomState(11)
+    c, w, B = 8, 12, 200
+    A = rng.randint(0, c + 1, size=(B, w))  # includes sentinels (== c)
+    Bm = rng.randint(0, c + 1, size=(B, w))
+    n = np.full(B, 24)
+
+    # row-wise pairs vs per-row batch calls
+    d_pairs = K.mindist_pairs(A, Bm, c, n, n)
+    for i in rng.choice(B, 25, replace=False):
+        d_batch, _, _ = K.mindist_batch(A[i], Bm[i : i + 1], c, 24, n[i : i + 1])
+        assert d_pairs[i] == d_batch[0]
+
+    # incompatible n -> NaN
+    d_bad = K.mindist_pairs(A[:1], Bm[:1], c, np.array([24]), np.array([12]))
+    assert np.isnan(d_bad[0])
+    # n == 0 on one side is the wildcard: compatible
+    d_wild = K.mindist_pairs(A[:1], Bm[:1], c, np.array([0]), np.array([24]))
+    assert np.isfinite(d_wild[0])
+    # identical words (incl. sentinels at same spots) -> 0
+    d_same = K.mindist_pairs(A[:5], A[:5], c, n[:5], n[:5])
+    assert (d_same == 0).all()
