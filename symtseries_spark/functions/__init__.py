@@ -4,6 +4,7 @@ reference's 13-function Lua API, /root/reference/lua/lua_sax.c:387-409).
 """
 
 from symtseries_spark.operators.symbolize import (  # noqa: F401
+    mindist_pair_udf,
     mindist_udf,
     sax_word_udf,
 )
@@ -27,6 +28,7 @@ from symtseries_spark.operators.multimodal import sniff_mime  # noqa: F401
 __all__ = [
     "sax_word_udf",
     "mindist_udf",
+    "mindist_pair_udf",
     "token_count",
     "subword_count",
     "quality_score",
