@@ -109,6 +109,7 @@ def main() -> None:
         "asof_rollup_1h",
         "user_sessions_30m",
         "m4_downsample_1h",
+        "sax_discords_daily",
     ]
     qs = E.queries()
     all_runs: dict[str, list] = {}
