@@ -836,40 +836,11 @@ def _fingerprint_sql() -> str:
     M64 = "18446744073709551616::HUGEINT"
     W = 1 << 64
 
-    def mulmod(a, c):
-        cc = f"{c}::HUGEINT" if isinstance(c, int) else f"({c})"
-        return (
-            f"((({a}) % 4294967296::HUGEINT) * {cc}"
-            f" + (((({a}) // 4294967296::HUGEINT) * {cc}) % 4294967296::HUGEINT)"
-            f" * 4294967296::HUGEINT) % {M64}"
-        )
-
-    def mulmod_big(a, b):
-        return (
-            f"(((({a}) % 4294967296::HUGEINT) * (({b}) % 4294967296::HUGEINT)"
-            f" + (((({a}) % 4294967296::HUGEINT) * (({b}) // 4294967296::HUGEINT)"
-            f" + (({a}) // 4294967296::HUGEINT) * (({b}) % 4294967296::HUGEINT))"
-            f" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % {M64})"
-        )
-
-    def addm(a, b):
-        return f"((({a}) + ({b})) % {M64})"
-
-    def rotl(x, r):
-        lo = 1 << (64 - r)
-        return (
-            f"((({x}) % {lo}::HUGEINT) * {1 << r}::HUGEINT"
-            f" + (({x}) // {lo}::HUGEINT))"
-        )
-
-    def xor(a, b):
-        return (
-            f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT))"
-            f" AS HUGEINT)"
-        )
-
-    def shr(x, r):
-        return f"(({x}) // {1 << r}::HUGEINT)"
+    # one copy of the HUGEINT wraparound arithmetic lives at module level
+    # (_hmul etc., shared with the media-oracle XXH64 builders) — alias it
+    # so the two replicas can never drift
+    mulmod, mulmod_big, addm = _hmul, _hmul_big, _hadd
+    rotl, xor, shr = _hrotl, _hxor, _hshr
 
     def lane(pos, nbytes):
         terms = " + ".join(
@@ -1889,9 +1860,11 @@ def q_counter_rate(spark, sf_dir):
 def q_twa_1h(spark, sf_dir):
     """Time-weighted (locf-weighted) hourly average — burst-robust mean."""
     ev = _events(spark, sf_dir).select(
-        F.col("user_id").alias("key"), "ts", "value"
+        F.col("user_id").alias("key"), "ts", "value", "event_id"
     )
-    t = SR.time_weighted_avg(ev, "key", "ts", "value", 3600)
+    t = SR.time_weighted_avg(
+        ev, "key", "ts", "value", 3600, order_cols=("event_id",)
+    )
     return t.select(
         "key", "bucket_ts", F.round("twa", 6).alias("twa"), "cnt"
     )
@@ -2328,14 +2301,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "twa_1h": """
             WITH b AS (
-              SELECT user_id AS key, epoch(ts) AS t,
+              SELECT user_id AS key, epoch(ts) AS t, event_id,
                      (floor(epoch(ts) / 3600.0) * 3600)::BIGINT AS bsec,
                      value
               FROM events
             ), w AS (
               SELECT key, bsec, value,
                      coalesce(lead(t) OVER (PARTITION BY key, bsec
-                                            ORDER BY t), bsec + 3600) - t
+                                            ORDER BY t, event_id),
+                              bsec + 3600) - t
                      AS hold
               FROM b
             )
@@ -2349,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT (floor(epoch(ts) / 86400.0) * 86400)::BIGINT AS bsec,
                      least(greatest(floor(value / 10.0), 0), 19)::INT AS bin
               FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
             )
             SELECT to_timestamp(bsec)::TIMESTAMP AS bucket_ts, bin,
                    round(bin * 10.0, 6) AS bin_lo, count(*) AS n

@@ -75,14 +75,17 @@ def bench_pipeline(spark, sf: str) -> tuple[float, float, dict]:
     cold = time.time() - t0
     # warm = min of two post-JIT runs (the host shows sporadic multi-
     # second contention spikes; min-of-2 recovers the machine-limited
-    # number — same rationale as the per-query min-of-2 below)
+    # number — same rationale as the per-query min-of-2 below). The
+    # returned metrics dict is the one from the SAME run as the min wall,
+    # so the per-consumer breakdown matches the reported warm total.
     warms = []
     for _ in range(2):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         m = run_pipeline(spark, crawl, out_dir=out)
-        warms.append(time.time() - t0)
-    return cold, min(warms), m
+        warms.append((time.time() - t0, m))
+    wall, m = min(warms, key=lambda x: x[0])
+    return cold, wall, m
 
 
 def main() -> None:
@@ -142,8 +145,9 @@ def main() -> None:
             k: pm[k] for k in ("points_1m", "points_1h", "points_1d", "words", "chunks")
         },
         # cold = first full run in the JVM (codegen/JIT/worker spawn
-        # included), warm = identical second run; "rollup_pipeline" above
-        # is the warm number (r2 convention)
+        # included); "rollup_pipeline" above is the min of two warm runs
+        # (round-3 convention — raw per-query samples in queries_runs)
+        "timing_method": "min_of_2",
         "rollup_pipeline_cold": round(cold, 3),
         "queries_runs": all_runs,
         "pipeline_consumer_secs": {

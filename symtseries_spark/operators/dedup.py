@@ -485,6 +485,13 @@ def connected_components(
 
     Returns (id, cluster_id) with cluster_id = min node id reachable.
     Isolated nodes keep cluster_id = their own id.
+
+    Cache contract: the returned DataFrame is backed by the final round's
+    persisted labels (unpersisting it before consumption would recompute
+    the whole iteration chain through already-unpersisted intermediates).
+    The CALLER owns that cache — materialize once, then ``.unpersist()``
+    it; same ownership rule as the stored-signature path in
+    minhash_lsh_dupes.
     """
     sym = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
@@ -510,6 +517,9 @@ def connected_components(
                 .groupBy("n")
                 .agg(F.min("lbl").alias("lbl"))
             )
+            # `new` feeds BOTH sides of the pointer-jump self-join —
+            # persist it so the neighbor-min aggregation runs once
+            new.persist()
             # (b) pointer jump: lbl(n) <- lbl(lbl(n))
             jump = new.alias("x").join(
                 new.select(
@@ -527,6 +537,7 @@ def connected_components(
                 .filter(F.col("a.lbl") != F.col("b.lbl"))
                 .count()
             )
+            new.unpersist()
             labels.unpersist()
             labels = jump
             if changed == 0:

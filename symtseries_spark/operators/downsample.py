@@ -44,7 +44,9 @@ def m4_downsample(
     v = F.col(value_col)
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
     by_time = F.struct(t.alias("t"), tb.alias("tb"), v.alias("v"))
-    # value-ordered struct: ties on value resolve to the earliest point
+    # value-ordered struct: lexicographic (v, t, tb) means min_v ties
+    # resolve to the EARLIEST point and max_v ties to the LATEST (struct
+    # max takes the largest t) — pinned in test_m4_ties_resolve_deterministically
     by_value = F.struct(v.alias("v"), t.alias("t"), tb.alias("tb"))
     bucket = (F.floor(t / F.lit(float(bucket_s))) * bucket_s).cast("long")
     return (

@@ -57,6 +57,16 @@ def asof_join(
     series length only. No range-join row explosion.
     """
     pcols = probe.columns
+    clashes = [
+        c for c in [f"{prefix}ts"] + [f"{prefix}{c}" for c in build_cols]
+        if c in pcols
+    ]
+    if clashes:
+        raise ValueError(
+            f"asof_join output columns {clashes} collide with probe "
+            f"columns; pass a different prefix= (e.g. when layering "
+            f"multiple as-of joins)"
+        )
     bstruct = F.struct(
         F.col(build_ts).alias("__bt"), *[F.col(c) for c in build_cols]
     )

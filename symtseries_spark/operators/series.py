@@ -58,6 +58,7 @@ def time_weighted_avg(
     ts_col: str = "ts",
     value_col: str = "value",
     tier_s: int = 3600,
+    order_cols: tuple = (),
 ) -> DataFrame:
     """Time-weighted average per (key, bucket): each sample's value is
     weighted by how long it was the CURRENT value inside the bucket
@@ -67,10 +68,15 @@ def time_weighted_avg(
 
     The last sample of a bucket holds until the bucket's end. Buckets
     with a single sample get that value. One lead window + one hash agg.
+    Pass ``order_cols`` when (key, ts) is not unique — duplicate
+    timestamps otherwise make the hold assignment (and the result)
+    nondeterministic.
     """
     t = _epoch(ts_col)
     bstart = F.floor(t / F.lit(float(tier_s))) * tier_s
-    w = Window.partitionBy(key_col, bstart.cast("long")).orderBy(t)
+    w = Window.partitionBy(key_col, bstart.cast("long")).orderBy(
+        t, *[F.col(c) for c in order_cols]
+    )
     nxt = F.lead(t).over(w)
     hold = F.coalesce(nxt, bstart + tier_s) - t
     weighted = df.select(
@@ -107,7 +113,9 @@ def histogram_tier(
 ) -> DataFrame:
     """Fixed-bin value histogram per time bucket — the heatmap tier a
     dashboard reads instead of raw points. Out-of-range values clamp to
-    the edge bins (bin 0 / bin ``bins-1``).
+    the edge bins (bin 0 / bin ``bins-1``); NULL and NaN values are
+    EXCLUDED (Spark's floor(NaN)→0 and SQL engines' NaN-sorts-highest
+    would otherwise classify unmeasured points as extreme ones).
 
     One hash agg on (bucket, bin): shuffle rows = buckets × bins.
     """
@@ -117,7 +125,8 @@ def histogram_tier(
     t = _epoch(ts_col)
     bsec = (F.floor(t / F.lit(float(tier_s))) * tier_s).cast("long")
     return (
-        df.groupBy(bsec.alias("_bsec"), bin_.alias("bin"))
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
+        .groupBy(bsec.alias("_bsec"), bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.timestamp_seconds(F.col("_bsec"))
