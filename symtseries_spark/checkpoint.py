@@ -135,3 +135,69 @@ def write_partitioned(
         .partitionBy("tier", "bucket_date")
         .parquet(path)
     )
+
+
+def upsert_tier(spark, updates: DataFrame, path: str, tier: str) -> list:
+    """Merge changed (key, bucket) rows into the partitioned tier store —
+    the write half of CONTINUOUS-aggregate maintenance: ``updates``
+    carries the current aggregate rows for the buckets an increment
+    touched (e.g. one streaming epoch in update mode), and only the
+    affected (tier, bucket_date) partitions are rewritten.
+
+    New partition content = surviving old rows (anti-join on
+    (key, bucket_ts)) ∪ updates; dynamic partition overwrite leaves every
+    untouched date alone. The old rows are localCheckpoint-ed first so
+    the overwrite never reads from the path it is rewriting.
+
+    Returns the list of affected bucket_date values (driver-side, bounded
+    by the watermark horizon — an epoch can only touch dates within it).
+    """
+    up = updates.withColumn("bucket_date", F.to_date("bucket_ts"))
+    dates = [
+        r["bucket_date"] for r in up.select("bucket_date").distinct().collect()
+    ]
+    if not dates:
+        return dates
+    up = up.drop("bucket_date")
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col("tier") == tier)
+            .filter(F.col("bucket_date").isin(dates))  # partition prune
+            .drop("bucket_date")
+        )
+        survivors = existing.join(
+            up.select("key", "bucket_ts"), ["key", "bucket_ts"], "left_anti"
+        ).localCheckpoint(eager=True)
+        merged = survivors.unionByName(up)
+    except AnalysisException:  # first write: nothing to merge yet
+        merged = up
+    write_partitioned(merged, path, tier)
+    return dates
+
+
+def upsert_tiers_increment(spark, updates_1m: DataFrame, path: str) -> None:
+    """Apply a 1m-tier increment and re-derive the affected 1h/1d buckets
+    — the full continuous-aggregate maintenance step.
+
+    The 1h/1d tiers are recomputed ONLY for the touched bucket_dates, by
+    re-cascading the (just-merged) 1m partials of those dates; since no
+    1h/1d bucket spans a date boundary, rewriting whole affected date
+    partitions is both correct and exactly partition-aligned.
+    """
+    from symtseries_spark.operators.rollup import rollup_cascade
+
+    dates = upsert_tier(spark, updates_1m, path, "1m")
+    if not dates:
+        return
+    t1m = (
+        spark.read.parquet(path)
+        .filter((F.col("tier") == "1m") & F.col("bucket_date").isin(dates))
+        .drop("bucket_date")
+    )
+    t1h = rollup_cascade(t1m, "1h").localCheckpoint(eager=True)
+    write_partitioned(t1h, path, "1h")
+    t1d = rollup_cascade(t1h, "1d")
+    write_partitioned(t1d, path, "1d")

@@ -259,3 +259,56 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
     )
+
+
+def streaming_tiers(
+    stream: DataFrame,
+    store_path: str,
+    key_col: str,
+    ts_col: str,
+    value_expr,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """TRUE streaming continuous aggregates: maintain the partitioned
+    1m/1h/1d tier store incrementally from a stream.
+
+    streaming_rollup (update mode) emits the CURRENT 1m aggregate row for
+    every bucket an epoch changed — including late-data revisions inside
+    the watermark; ``foreachBatch`` merges those rows into the tier store
+    (checkpoint.upsert_tier) and re-cascades ONLY the touched dates'
+    1h/1d buckets (checkpoint.upsert_tiers_increment). Restarts resume
+    from ``checkpoint_dir``; the store converges to exactly the batch
+    rollup_all_tiers of everything ingested (law-tested).
+
+    Scale: per epoch, work ∝ changed buckets + affected-date partials,
+    never the store size; the merge rewrites only affected
+    (tier, bucket_date) partitions.
+
+    Returns the DataStreamWriter — caller picks the trigger and starts it.
+    """
+    from symtseries_spark import checkpoint as CP
+
+    agg = streaming_rollup(stream, key_col, ts_col, value_expr, "1m", watermark)
+    canonical = agg.select(
+        "key",
+        "tier",
+        "bucket_ts",
+        "crawl_cnt",
+        F.col("sum").cast("long").alias("text_len_sum"),
+        F.col("value_avg").alias("text_len_avg"),
+        "cnt",
+        "sum",
+        "sumsq",
+    )
+
+    def _epoch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        CP.upsert_tiers_increment(batch_df.sparkSession, batch_df, store_path)
+
+    return (
+        canonical.writeStream.foreachBatch(_epoch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )

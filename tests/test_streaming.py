@@ -329,3 +329,82 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dedup_sink").collect()
     ]
     assert len(got) == len(set(got)) == 50  # every id exactly once
+
+
+def test_streaming_tiers_converge_to_batch_rollup(spark, tmp_path):
+    """Continuous-aggregate law: after each availableNow epoch (including
+    a restart from checkpoint and late data revising an earlier bucket),
+    the incrementally-maintained 1m/1h/1d store equals the batch
+    rollup_all_tiers over everything ingested so far."""
+    from symtseries_spark.operators.rollup import rollup_all_tiers
+    from symtseries_spark.streaming.ingest import streaming_tiers
+
+    src = str(tmp_path / "tiers_src")
+    store = str(tmp_path / "tiers_store")
+    ckpt = str(tmp_path / "tiers_ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    def _rows(spec):
+        return [
+            Row(key=k, ts=base + dt.timedelta(seconds=s), value=v)
+            for k, s, v in spec
+        ]
+
+    batch1 = _rows(
+        [("a", 10, 1.0), ("a", 70, 2.0), ("a", 3700, 3.0),
+         ("b", 20, 5.0), ("b", 90000, 7.0)]  # b spans two dates
+    )
+    # batch2: new buckets PLUS a late row revising a's very first minute
+    # and a brand-new key. The watermark below is 30 days so the restart's
+    # checkpointed watermark (batch1 max ts - delay) still admits them —
+    # with a tight watermark the engine CORRECTLY drops them as too-late
+    # (that eviction is the bounded-state contract, not a bug).
+    batch2 = _rows(
+        [("a", 15, 10.0), ("a", 90100, 4.0), ("c", 30, 9.0)]
+    )
+
+    def _run_epoch():
+        stream = spark.readStream.schema(
+            "key string, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            streaming_tiers(
+                stream, store, "key", "ts", F.col("value"), ckpt,
+                watermark="30 days",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def _store_state():
+        got = spark.read.parquet(store)
+        return {
+            (r["tier"], r["key"], r["bucket_ts"]): (
+                r["crawl_cnt"], r["cnt"],
+                round(r["sum"], 6), round(r["sumsq"], 6),
+                round(r["text_len_avg"], 6),
+            )
+            for r in got.collect()
+        }
+
+    def _batch_state(rows):
+        df = spark.createDataFrame(rows)
+        tiers = rollup_all_tiers(df, "key", "ts", F.col("value"))
+        out = {}
+        for tier, tdf in tiers.items():
+            for r in tdf.collect():
+                out[(tier, r["key"], r["bucket_ts"])] = (
+                    r["crawl_cnt"], r["cnt"],
+                    round(r["sum"], 6), round(r["sumsq"], 6),
+                    round(r["text_len_avg"], 6),
+                )
+        return out
+
+    _write_batches(spark, src, [batch1])
+    _run_epoch()
+    assert _store_state() == _batch_state(batch1)
+
+    _write_batches(spark, src, [batch2])
+    _run_epoch()  # restart from checkpoint, processes only batch2 files
+    assert _store_state() == _batch_state(batch1 + batch2)
