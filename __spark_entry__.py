@@ -1827,9 +1827,12 @@ def q_sax_discords_daily(spark, sf_dir):
     dp = pairs.select("wa", "wb", "na", "nb").distinct()
     dd = dp.withColumn("d", mindist_pair_udf(8)("wa", "wb", "na", "nb"))
     j = pairs.join(F.broadcast(dd), ["wa", "wb", "na", "nb"])
+    # wa is constant within (key, window_ts) — grouping by it carries the
+    # discord day's own word through, saving a third scan of the daily
+    # word derivation (the a/b self-join already costs two)
     agg = (
         j.filter(~F.isnan("d"))
-        .groupBy("key", "window_ts")
+        .groupBy("key", "window_ts", F.col("wa").alias("word"))
         .agg(
             F.round(F.avg("d"), 6).alias("avg_dist"),
             F.count(F.lit(1)).alias("n_partners"),
@@ -1838,10 +1841,11 @@ def q_sax_discords_daily(spark, sf_dir):
     rn = F.row_number().over(
         Wn.partitionBy("key").orderBy(F.col("avg_dist").desc(), "window_ts")
     )
-    top = agg.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
-    return top.join(
-        wrds.select("key", "window_ts", "word"), ["key", "window_ts"]
-    ).select("key", "window_ts", "word", "avg_dist", "n_partners")
+    return (
+        agg.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("key", "window_ts", "word", "avg_dist", "n_partners")
+    )
 
 
 def q_counter_rate(spark, sf_dir):
