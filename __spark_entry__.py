@@ -1808,11 +1808,23 @@ def q_sax_discords_daily(spark, sf_dir):
     Plan shape: the pairwise mindist UDF runs over DISTINCT (word, word)
     pairs only (vocabulary² bound, not days²) and broadcast-joins back;
     the per-key pair blow-up is bounded by the retention horizon
-    (days ≤ 365), never by corpus size."""
+    (days ≤ 365), never by corpus size.
+
+    The daily-word derivation (1m→1h rollup + mapInArrow symbolization,
+    the dominant cost) feeds BOTH sides of the self-join AND the distinct-
+    pair branch — eagerly localCheckpoint it so it runs ONCE per call
+    instead of twice. The checkpointed set is (key, day, word): tiny
+    relative to the raw input (retention-horizon-bounded), so it fits
+    executor storage at any corpus scale; at 100 TB the same role is
+    played by reading the stored word index (see q_promoted_lookup)."""
     from symtseries_spark.operators.symbolize import mindist_pair_udf
     from pyspark.sql import Window as Wn
 
-    wrds = _daily_words(spark, sf_dir).select("key", "window_ts", "word", "n")
+    wrds = (
+        _daily_words(spark, sf_dir)
+        .select("key", "window_ts", "word", "n")
+        .localCheckpoint(eager=True)
+    )
     a, b = wrds.alias("a"), wrds.alias("b")
     pairs = (
         a.join(b, "key")

@@ -88,6 +88,96 @@ def bench_pipeline(spark, sf: str) -> tuple[float, float, dict]:
     return cold, wall, m
 
 
+def bench_incremental(spark, sf: str) -> dict:
+    """The continuous-aggregate maintenance path (VERDICT r3 #7): seed the
+    tier store from the full crawl table, then time an upsert of ~1% new
+    input landing in a NEW date partition. Work must scale with the
+    touched dates, not the store size — this is the number that makes the
+    'resumable reruns' claim quantitative."""
+    import glob
+
+    from symtseries_spark import checkpoint as CP
+    from symtseries_spark.operators.rollup import rollup_raw
+    from symtseries_spark.pipeline import _footer_rows
+
+    path = ensure_crawl(spark, sf)
+    crawl = spark.read.parquet(path)
+    store = os.path.join(BENCH_DATA, f"inc_store_sf{sf}")
+    shutil.rmtree(store, ignore_errors=True)
+
+    t0 = time.time()
+    seed = rollup_raw(crawl, "url", "warc_ts", F.length("text"), "1m")
+    CP.upsert_tiers_increment(spark, seed, store)
+    seed_sec = time.time() - t0
+
+    # ~1% new input: 15 more one-minute revisits per url, deterministically
+    # generated and shifted one day past the seed's span (append-mostly
+    # time series: new data lands in new date partitions)
+    n_urls = CRAWL_URLS.get(sf, 2500)
+    new = gen_crawl(spark, n_urls=n_urls, revisits=15).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    upd = rollup_raw(new, "url", "warc_ts", F.length("text"), "1m")
+    t0 = time.time()
+    CP.upsert_tiers_increment(spark, upd, store)
+    inc_sec = time.time() - t0
+
+    all_dates = sorted(
+        os.path.basename(p).split("=", 1)[1]
+        for p in glob.glob(os.path.join(store, "tier=1m", "bucket_date=*"))
+    )
+    touched = all_dates[-1]
+    inc_points = sum(
+        _footer_rows(os.path.join(store, f"tier={t}", f"bucket_date={touched}"))
+        for t in ("1m", "1h", "1d")
+    )
+    return {
+        "seed_sec": round(seed_sec, 3),
+        "sec": round(inc_sec, 3),
+        "new_points": inc_points,
+        "new_points_per_sec": round(inc_points / inc_sec, 1) if inc_sec else 0.0,
+        "touched_dates": 1,
+        "store_dates": len(all_dates),
+    }
+
+
+def bench_streaming_tiers(spark, sf: str) -> dict:
+    """One availableNow epoch of the TRUE streaming continuous-aggregate
+    path over the crawl table (VERDICT r3 #8): watermarked update-mode 1m
+    rollup → foreachBatch upsert into the partitioned tier store with
+    partial 1h/1d re-cascade. Records epoch wall + partitions rewritten
+    (∝ dates the epoch touched)."""
+    import glob
+
+    from symtseries_spark.pipeline import _footer_rows
+    from symtseries_spark.streaming.ingest import streaming_tiers
+
+    path = ensure_crawl(spark, sf)
+    store = os.path.join(BENCH_DATA, f"stream_store_sf{sf}")
+    cp = os.path.join(BENCH_DATA, f"stream_cp_sf{sf}")
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(cp, ignore_errors=True)
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).parquet(path)
+    writer = streaming_tiers(
+        stream, store, "url", "warc_ts", F.length("text"), cp
+    )
+    t0 = time.time()
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    sec = time.time() - t0
+    dates = len(glob.glob(os.path.join(store, "tier=1m", "bucket_date=*")))
+    points = _footer_rows(store)
+    return {
+        "sec": round(sec, 3),
+        "points": points,
+        "points_per_sec": round(points / sec, 1) if sec else 0.0,
+        "partitions_rewritten_dates": dates,
+    }
+
+
 def main() -> None:
     sf = _sf_of(SF_DIR)
     spark = get_spark("symtseries-bench", master=f"local[{CPUS}]",
@@ -131,6 +221,11 @@ def main() -> None:
         all_runs[name] = runs
         timings[name] = min(runs)
 
+    inc = bench_incremental(spark, sf)
+    timings["incremental_rerun_1pct"] = inc["sec"]
+    st = bench_streaming_tiers(spark, sf)
+    timings["streaming_tiers_epoch"] = st["sec"]
+
     total = round(sum(timings.values()), 3)
     points = pm["points_1m"] + pm["points_1h"] + pm["points_1d"]
     result = {
@@ -149,6 +244,8 @@ def main() -> None:
         # (round-3 convention — raw per-query samples in queries_runs)
         "timing_method": "min_of_2",
         "rollup_pipeline_cold": round(cold, 3),
+        "incremental": inc,
+        "streaming_tiers": st,
         "queries_runs": all_runs,
         "pipeline_consumer_secs": {
             k: v for k, v in pm.get("timings", {}).items()

@@ -36,22 +36,11 @@ df = E.entry(spark)
 rows = df.collect()
 print(f"entry(): {len(rows)} rows, schema {df.columns}")
 
-targets = [
-    "exact_knn_daily", "isax_range_daily", "sax_words_daily",
-    "mindist_topk_daily", "media_features", "media_frames",
-    "simhash_dupes_docs", "minhash_dupes_docs", "dup_pairs_verified",
-    "dedup_exact_docs", "doc_quality", "doc_lang_id",
-    "embedding_lsh_topk", "embedding_ivf_topk",
-    "promote_hot_words", "promoted_lookup", "embedding_dupes",
-    "doc_fingerprints",
-    "asof_rollup_1h", "asof_error_context", "user_sessions_30m",
-    "rollup_1h_quantiles", "daily_active_users", "m4_downsample_1h",
-    "dedup_clusters_docs",
-    "counter_rate", "twa_1h", "value_histogram_daily", "daily_top_events",
-    "sax_discords_daily",
-]
+# ALL registered queries: the contract surface is everything in queries()
+targets = None  # filled from E.queries() below
 oracles = E.oracle_sql()
 qs = E.queries()
+targets = sorted(qs)
 for name in targets:
     sdf = qs[name](spark, SF).toPandas()
     if name in oracles:

@@ -172,7 +172,17 @@ def upsert_tier(spark, updates: DataFrame, path: str, tier: str) -> list:
             up.select("key", "bucket_ts"), ["key", "bucket_ts"], "left_anti"
         ).localCheckpoint(eager=True)
         merged = survivors.unionByName(up)
-    except AnalysisException:  # first write: nothing to merge yet
+    except AnalysisException as e:
+        # ONLY a missing store means "first write". Any other analysis
+        # error (schema drift, corrupt footer, ...) must surface — merging
+        # `up` alone would silently drop every surviving old row in the
+        # touched partitions.
+        get_cls = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        err_cls = get_cls() or ""
+        if "PATH_NOT_FOUND" not in str(err_cls) and "PATH_NOT_FOUND" not in str(e):
+            raise
         merged = up
     write_partitioned(merged, path, tier)
     return dates

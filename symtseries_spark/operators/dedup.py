@@ -503,9 +503,15 @@ def connected_components(
         .distinct()
     )
     sym.persist()
-    labels = nodes.select(
-        F.col(id_col).alias("n"), F.col(id_col).alias("lbl")
-    )
+    # Seed labels from nodes ∪ edge endpoints: an endpoint missing from
+    # `nodes` must still carry its own id as a candidate min label and be
+    # visible to the convergence check from round 1 — otherwise propagation
+    # through it can converge prematurely / to the wrong min. The final
+    # select restricts the answer back to `nodes`, so extra endpoints only
+    # participate in propagation, never in the output row set.
+    node_ids = nodes.select(F.col(id_col).alias("n"))
+    seed = node_ids.unionByName(sym.select(F.col("s").alias("n"))).distinct()
+    labels = seed.select("n", F.col("n").alias("lbl"))
     try:
         for _ in range(max_iter):
             # (a) neighbor-min: msg(d) = lbl(s) for every edge s->d
@@ -544,6 +550,6 @@ def connected_components(
                 break
     finally:
         sym.unpersist()
-    return labels.select(
+    return labels.join(node_ids, "n").select(
         F.col("n").alias(id_col), F.col("lbl").alias("cluster_id")
     )

@@ -501,3 +501,132 @@ def promote_words(
             F.col("word")
         ),
     ).drop("_hot")
+
+
+# ---------------------------------------------------------------------------
+# iterative multi-segment promotion (recursive iSAX-2.0 descent)
+# ---------------------------------------------------------------------------
+
+
+def fine_word_udf(w: int, c: int):
+    """pandas UDF: series → the FULL cardinality-2c word, lowercase-tagged.
+
+    One vectorized symbolization yields every segment's fine letter at
+    once, so the iterative splitter below is pure column string surgery —
+    the UDF runs exactly once regardless of descent depth."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _fine(series: pd.Series) -> pd.Series:
+        if len(series) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(series.to_numpy()).astype(np.float64, copy=False)
+        syms = K.symbolize_batch(X, w, 2 * c)
+        return pd.Series(_strings_from_symbols(syms, 2 * c)).str.lower()
+
+    return _fine
+
+
+def promote_words_iter(
+    symbolized: DataFrame,
+    threshold: int,
+    w: int,
+    c: int,
+    n: int,
+    segments: tuple = (0, 1),
+) -> DataFrame:
+    """RECURSIVE iSAX-2.0 promotion (reference TODO symtseries.h:32,
+    extended past promote_words' single split): when a promoted sub-bucket
+    is still over ``threshold``, split the NEXT segment — one descent round
+    per entry of ``segments``, in order.
+
+    Round r groups rows by their current ``word_promoted``; buckets with
+    count > threshold get segment ``segments[r]`` refined to its 2c
+    lowercase letter (taken from the once-computed full fine word). Cold
+    buckets are never touched, so a row's lowercase-letter count IS its
+    bucket's descent depth.
+
+    Scale: the per-round hot set is a broadcast (vocabulary-bounded: at
+    most #hot-buckets rows), the refinement is JVM string surgery, and the
+    only Python is the single fine-word UDF pass. Each round adds one
+    hash-aggregate over the rows — keep ``segments`` to the few levels a
+    real skew profile needs (depth 2-3), not all w.
+    """
+    if not segments:
+        raise ValueError("segments must name at least one split level")
+    if len(set(segments)) != len(segments):
+        raise ValueError(f"segments must be distinct, got {segments!r}")
+    for s in segments:
+        if not (0 <= int(s) < w):
+            raise ValueError(f"segment {s} out of range for w={w}")
+    cur = symbolized.withColumn(
+        "_fine", fine_word_udf(int(w), int(c))(F.col("series"))
+    ).withColumn("word_promoted", F.col("word"))
+    # the fine word feeds every round — without a checkpoint the UDF chain
+    # would re-run once per descent level's aggregate
+    cur = cur.localCheckpoint(eager=False)
+    for seg in segments:
+        seg = int(seg)
+        hot = (
+            cur.groupBy("word_promoted")
+            .count()
+            .filter(F.col("count") > int(threshold))
+            .select("word_promoted", F.lit(True).alias("_hot"))
+        )
+        refined = F.concat(
+            F.substring("word_promoted", 1, seg),
+            F.substring("_fine", seg + 1, 1),
+            F.substring("word_promoted", seg + 2, w - seg - 1),
+        )
+        cur = (
+            cur.join(F.broadcast(hot), "word_promoted", "left")
+            .withColumn(
+                "word_promoted",
+                F.when(F.coalesce("_hot", F.lit(False)), refined).otherwise(
+                    F.col("word_promoted")
+                ),
+            )
+            .drop("_hot")
+        )
+    return cur.drop("_fine")
+
+
+def promoted_query_words_iter(
+    query_series: np.ndarray, w: int, c: int, segments: tuple = (0, 1)
+) -> list:
+    """The query's refinement chain [base, depth-1 word, depth-2 word, …]
+    matching promote_words_iter's split convention. A bucket split to
+    depth d matches the query iff its word_promoted equals chain[d]."""
+    q = np.asarray(query_series, dtype=np.float64)
+    base = K.symbols_to_string(K.symbolize(q, w, c), c)
+    fine = K.symbols_to_string(K.symbolize(q, w, 2 * c), 2 * c).lower()
+    words = [base]
+    cur = base
+    for seg in segments:
+        seg = int(seg)
+        cur = cur[:seg] + fine[seg] + cur[seg + 1 :]
+        words.append(cur)
+    return words
+
+
+def promoted_lookup_iter(
+    symbolized: DataFrame,
+    query_series: np.ndarray,
+    w: int,
+    c: int,
+    n: int,
+    segments: tuple = (0, 1),
+    threshold: int = 20,
+) -> DataFrame:
+    """Exact-word lookup that descends promoted sub-buckets to ANY depth:
+    a bucket split d times matches iff its word_promoted equals the
+    query's depth-d refinement — so the filter is one IN over the (depth+1)-
+    element refinement chain. Cold buckets match on the base word
+    (chain[0]); each extra split halves (in expectation) the rows a hot
+    bucket's lookup touches."""
+    chain = promoted_query_words_iter(query_series, w, c, segments)
+    promoted = promote_words_iter(symbolized, threshold, w, c, n, segments)
+    return promoted.filter(F.col("word") == chain[0]).filter(
+        F.col("word_promoted").isin(chain)
+    )

@@ -70,6 +70,12 @@ def asof_join(
     bstruct = F.struct(
         F.col(build_ts).alias("__bt"), *[F.col(c) for c in build_cols]
     )
+    # Equality-join semantics on the key: a NULL key matches nothing.
+    # The union-window formulation would otherwise group NULL keys into
+    # one window partition and let a NULL-key probe pick up a NULL-key
+    # build row; dropping NULL-key build rows up front leaves NULL-key
+    # probes unmatched, like an ASOF LEFT JOIN (and the SQL oracle).
+    build = build.filter(F.col(on).isNotNull())
     # side ordering at equal t: non-strict → build sorts BEFORE the probe
     # row (visible to it); strict → after (invisible).
     b = build.select(

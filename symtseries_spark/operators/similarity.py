@@ -146,10 +146,23 @@ def train_centroids_np(X: np.ndarray, n_centroids: int = 16,
 
 def train_centroids(emb: DataFrame, n_centroids: int = 16,
                     vec_col: str = "embedding", sample: float = 0.2,
-                    iters: int = 5, seed: int = 13) -> np.ndarray:
+                    iters: int = 5, seed: int = 13,
+                    max_rows: int = 100_000) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (the train step
-    is tiny; assignment stays distributed)."""
-    rows = emb.select(vec_col).sample(fraction=min(1.0, sample), seed=seed).collect()
+    is tiny; assignment stays distributed).
+
+    The collected sample is HARD-CAPPED at ``max_rows`` regardless of
+    ``sample``: a fraction-only sample of a 10^12-row corpus would pull
+    the corpus to the driver. k-means quality saturates long before 100k
+    points for a coarse quantizer of ≤ a few thousand cells, so the cap
+    loses nothing; corpora smaller than the cap are unaffected (bit-
+    identical centroids to the uncapped path)."""
+    rows = (
+        emb.select(vec_col)
+        .sample(fraction=min(1.0, sample), seed=seed)
+        .limit(int(max_rows))
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     return train_centroids_np(X, n_centroids, iters, seed)
 

@@ -315,7 +315,12 @@ def mindist_pair_udf(c: int):
     Both sides vary per row (discord discovery), unlike mindist_udf's
     one-query-many-candidates closure. Run it over DISTINCT word pairs
     and broadcast-join back (same vocabulary-bounded-UDF plan rule as the
-    query-side mindist)."""
+    query-side mindist).
+
+    Width rule (reference sts_mindist_ab, symtseries.c:582-586): words of
+    different w are incomparable → NaN. Rows are grouped by word length so
+    each vectorized kernel call sees a uniform (B, w) matrix — no silent
+    truncation to the first row's width."""
     from pyspark.sql.types import DoubleType
 
     @pandas_udf(DoubleType())
@@ -324,14 +329,19 @@ def mindist_pair_udf(c: int):
     ) -> pd.Series:
         if len(wa) == 0:
             return pd.Series([], dtype=np.float64)
-        A = _symbols_from_strings(wa.to_numpy(), c)
-        B = _symbols_from_strings(wb.to_numpy(), c)
-        return pd.Series(
-            K.mindist_pairs(
-                A, B, c,
-                na.to_numpy().astype(np.int64),
-                nb.to_numpy().astype(np.int64),
-            )
-        )
+        A_raw = wa.to_numpy().astype("U")
+        B_raw = wb.to_numpy().astype("U")
+        la = np.char.str_len(A_raw)
+        lb = np.char.str_len(B_raw)
+        out = np.full(len(wa), np.nan)
+        na_arr = na.to_numpy().astype(np.int64)
+        nb_arr = nb.to_numpy().astype(np.int64)
+        eq = (la == lb) & (la > 0)
+        for wlen in np.unique(la[eq]):
+            m = eq & (la == wlen)
+            A = _symbols_from_strings(A_raw[m], c)
+            B = _symbols_from_strings(B_raw[m], c)
+            out[m] = K.mindist_pairs(A, B, c, na_arr[m], nb_arr[m])
+        return pd.Series(out)
 
     return _pair

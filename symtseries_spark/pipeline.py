@@ -7,13 +7,24 @@ levels. Stage layout (one shuffle each, all else map-side):
 
   raw scan (column-pruned: url, warc_ts, text-length only)
     → salted 1m rollup  (shuffle on (url, bucket, salt))
-    → WRITE 1m tier, read back             ← stage chaining goes through
-    → 1h cascade (shuffle, 1/60 the rows)    the written tier table, not
-    → 1d cascade                             .persist(): the columnar cache
-    → window assembly + symbolization        build costs more than a parquet
-    → index + compressed chunks              write and is exactly what a
-                                             cluster job does between stages
-                                             (each tier is a real table).
+    → key-clustered, time-sorted 1m tier, materialized ONCE
+    → FOUR concurrent jobs over it (FAIR pools):
+        write 1m tier ∥ 1h→1d cascades ∥ symbolize+index ∥ Gorilla chunks
+
+Handoff between the producer and the consumers (``handoff=``):
+
+  * "memory" (default): the sorted 1m tier is persisted and eagerly
+    materialized, then ALL FOUR jobs (including the 1m tier write) run
+    concurrently against the cache. The tier write's task+commit time —
+    previously a fully serial phase between producer and consumers — now
+    overlaps consumer compute, and the three consumers share one in-memory
+    copy instead of three file scans. The 1m tier of one ingest epoch is
+    ~1/60 of the epoch's raw rows × a few numeric columns, so it fits
+    cluster storage memory by construction; if it ever didn't,
+    handoff="table" is the spill-safe fallback.
+  * "table": write the 1m tier first, then run the three consumers against
+    the written files (one-file-one-split pinned). This is the layout a
+    multi-job warehouse uses when stages are separate applications.
 
 Counting output points reads parquet footers (metadata-only), so the
 metric includes the sink write but not redundant rescans.
@@ -58,11 +69,14 @@ def run_pipeline(
     hot_keys: list | None = None,
     checkpoint_path: str | None = None,
     run_id: str | None = None,
+    handoff: str = "memory",
 ) -> dict:
     """Run the full pipeline, persisting every stage output under out_dir
     (a TemporaryDirectory when not given). Returns metrics: rolled-up
     points per tier, words indexed, chunks written, wall sec, points/sec.
     """
+    if handoff not in ("memory", "table"):
+        raise ValueError(f"handoff must be 'memory' or 'table', got {handoff!r}")
     cfg = cfg or EngineConfig()
     tmp = None
     if out_dir is None:
@@ -86,12 +100,12 @@ def run_pipeline(
 
     rollup_path = f"{out_dir}/rollup"
     # cluster_by_key: the key repartition rides BETWEEN the two salted agg
-    # phases, so the final agg is exchange-free and the written tier comes
-    # out key-clustered for two shuffles total (salted partials + key) —
-    # not three. Sorting by time within each file removes BOTH downstream
-    # repartition+sorts (symbolization and chunk encoding read with
-    # clustered=True). On a real warehouse this is the table's bucket/sort
-    # spec.
+    # phases, so the final agg is exchange-free and the tier comes out
+    # key-clustered for two shuffles total (salted partials + key) — not
+    # three. The explicit (key, bucket_ts) in-partition sort makes every
+    # (key, window/chunk) run contiguous AND time-ordered — the contract
+    # both clustered=True consumers rely on. On a real warehouse this is
+    # the table's bucket/sort spec.
     t1m = salted_rollup(
         src,
         "url",
@@ -101,45 +115,66 @@ def run_pipeline(
         hot_keys=hot_keys,
         salt_buckets=cfg.salt_buckets,
         cluster_by_key=True,
-    )
+    ).sortWithinPartitions("key", "bucket_ts")
     _t = _mark("plan_rollup", t0)
-    CP.write_partitioned(t1m, rollup_path, "1m", sort_within=("key", "bucket_ts"))
-    _t = _mark("write_1m", _t)
-    # clustered=True contract: the writer put each key in exactly ONE file
-    # (hash repartition) with rows time-sorted, so a read split of exactly
-    # one whole file keeps every (key, window/chunk) run contiguous. Spark
-    # would happily SPLIT a large file at a row-group boundary mid-key,
-    # silently yielding partial windows (NaN frames → wrong '#' words) and
-    # duplicate chunk ids. Pin ONE FILE = ONE SPLIT: maxPartitionBytes just
-    # above the largest file prevents splitting, and openCostInBytes at the
-    # same value prevents Spark from COALESCING several files into one split
-    # (a blanket-huge maxPartitionBytes packs every file into a single task
-    # and serializes the consumers). On a warehouse this is the
-    # bucketed-table property.
-    import glob as _glob
-    import os as _os
 
-    max_file = max(
-        (
-            _os.path.getsize(p)
-            for p in _glob.iglob(
-                f"{rollup_path}/tier=1m/**/*.parquet", recursive=True
-            )
-        ),
-        default=128 << 20,
-    )
-    _old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
-    _old_oc = spark.conf.get("spark.sql.files.openCostInBytes", None)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(max_file + (1 << 20)))
-    t1m_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1m")
+    _old_mpb = _old_oc = None
+    _conf_pinned = False
+    if handoff == "memory":
+        # Materialize the sorted 1m tier ONCE, eagerly: the four concurrent
+        # jobs below must share cached partitions, not race to compute them
+        # (concurrent first-touch of an uncached RDD duplicates work).
+        t1m.persist()
+        t1m.count()
+        t1m_r = t1m
+        _t = _mark("materialize_1m", _t)
+
+        def _write_1m():
+            CP.write_partitioned(t1m_r, rollup_path, "1m",
+                                 sort_within=("key", "bucket_ts"))
+    else:
+        CP.write_partitioned(t1m, rollup_path, "1m",
+                             sort_within=("key", "bucket_ts"))
+        _t = _mark("write_1m", _t)
+        # clustered=True contract for a FILE handoff: the writer put each
+        # key in exactly ONE file per date (hash repartition) with rows
+        # time-sorted, so a read split of exactly one whole file keeps
+        # every (key, window/chunk) run contiguous. Spark would happily
+        # SPLIT a large file at a row-group boundary mid-key, silently
+        # yielding partial windows (NaN frames → wrong '#' words) and
+        # duplicate chunk ids. Pin ONE FILE = ONE SPLIT: maxPartitionBytes
+        # just above the largest file prevents splitting, and
+        # openCostInBytes at the same value prevents Spark from COALESCING
+        # several files into one split. On a warehouse this is the
+        # bucketed-table property. (The memory handoff needs none of this —
+        # cached RDD partitions are exact.)
+        import glob as _glob
+        import os as _os
+
+        max_file = max(
+            (
+                _os.path.getsize(p)
+                for p in _glob.iglob(
+                    f"{rollup_path}/tier=1m/**/*.parquet", recursive=True
+                )
+            ),
+            default=128 << 20,
+        )
+        _old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+        _old_oc = spark.conf.get("spark.sql.files.openCostInBytes", None)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(max_file + (1 << 20)))
+        _conf_pinned = True
+        t1m_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1m")
+        _write_1m = None
 
     # The cascade chain, symbolization, and chunk encoding are independent
-    # consumers of the written 1m tier — submit them as CONCURRENT Spark
-    # jobs (threads share the SparkSession; the scheduler interleaves their
-    # stages). This overlaps each job's serial phases (planning, commit)
-    # with the others' compute, exactly like a multi-tenant cluster keeps
-    # executors busy across jobs.
+    # consumers of the materialized 1m tier — submit them (plus, in memory
+    # handoff, the tier write itself) as CONCURRENT Spark jobs (threads
+    # share the SparkSession; the scheduler interleaves their stages). This
+    # overlaps each job's serial phases (planning, commit) with the others'
+    # compute, exactly like a multi-tenant cluster keeps executors busy
+    # across jobs.
     def _cascades():
         # the 1h tier is ~1/60 of 1m — keep it in memory across the write so
         # the 1d cascade starts immediately instead of re-reading the sink
@@ -165,10 +200,10 @@ def run_pipeline(
     from concurrent.futures import ThreadPoolExecutor
 
     def _in_pool(name, fn):
-        # one FAIR pool per consumer: with spark.scheduler.mode=FAIR the
-        # root schedules POOLS fairly, but same-pool jobs still queue FIFO —
-        # distinct pools are what let the three consumers' stages interleave
-        # and fill each other's stage-transition bubbles.
+        # one FAIR pool per job: with spark.scheduler.mode=FAIR the root
+        # schedules POOLS fairly, but same-pool jobs still queue FIFO —
+        # distinct pools are what let the concurrent jobs' stages
+        # interleave and fill each other's stage-transition bubbles.
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         j0 = time.time()
         try:
@@ -177,29 +212,32 @@ def run_pipeline(
             timings[f"job_{name}"] = round(time.time() - j0, 2)
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
+    jobs = [
+        ("cascades", _cascades),
+        ("index", _index),
+        ("chunks", _chunks),
+    ]
+    if _write_1m is not None:
+        jobs.insert(0, ("write_1m", _write_1m))
     try:
-        with ThreadPoolExecutor(3) as pool:
-            futures = [
-                pool.submit(_in_pool, name, f)
-                for name, f in (
-                    ("cascades", _cascades),
-                    ("index", _index),
-                    ("chunks", _chunks),
-                )
-            ]
+        with ThreadPoolExecutor(len(jobs)) as pool:
+            futures = [pool.submit(_in_pool, name, f) for name, f in jobs]
             for fut in futures:
                 fut.result()
     finally:
-        # always restore the pinned one-file-per-split confs, even when a
-        # consumer raises — they must not leak into the rest of the session
-        if _old_mpb is None:
-            spark.conf.unset("spark.sql.files.maxPartitionBytes")
-        else:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
-        if _old_oc is None:
-            spark.conf.unset("spark.sql.files.openCostInBytes")
-        else:
-            spark.conf.set("spark.sql.files.openCostInBytes", _old_oc)
+        if handoff == "memory":
+            t1m.unpersist()
+        if _conf_pinned:
+            # always restore the pinned one-file-per-split confs, even when
+            # a consumer raises — they must not leak into the session
+            if _old_mpb is None:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            else:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", _old_mpb)
+            if _old_oc is None:
+                spark.conf.unset("spark.sql.files.openCostInBytes")
+            else:
+                spark.conf.set("spark.sql.files.openCostInBytes", _old_oc)
     _t = _mark("consumers_concurrent", _t)
 
     # counts read parquet footers directly on the driver (pyarrow) — zero
@@ -212,7 +250,15 @@ def run_pipeline(
     _t = _mark("counts", _t)
 
     if checkpoint_path:
-        hw = t1m_r.agg(F.max("bucket_ts")).first()[0]
+        # read the watermark from the WRITTEN tier (column-pruned scan of
+        # one timestamp column) — t1m_r may be an already-unpersisted cache
+        # whose recompute would replay the whole rollup
+        hw = (
+            spark.read.parquet(rollup_path)
+            .filter(F.col("tier") == "1m")
+            .agg(F.max("bucket_ts"))
+            .first()[0]
+        )
         CP.append_checkpoint(
             spark, checkpoint_path, "1m", hw, n1m, n1m, run_id=run_id
         )

@@ -96,35 +96,29 @@ _WORD_STATE = StructType(
 )
 
 
-def stateful_words(
-    stream: DataFrame,
+def make_word_updater(
     n: int,
     w: int,
     c: int,
-    key_col: str = "key",
     ts_col: str = "ts",
     value_col: str = "value",
-    emit: str = "batch",
-) -> DataFrame:
-    """Per-key sliding-window SAX word maintained as streaming state.
-
-    Mirrors reference semantics: a fresh window is all-NaN (word all '#'),
-    appends evict the oldest value, the word is recomputed over the ring.
-
-    emit="batch"  — one row per (key, micro-batch) with the word after the
-      batch's appends (reference law window == batch).
-    emit="append" — one row per APPENDED VALUE: the word after every single
-      append, exactly what the reference's ``sts_append_value`` returns
-      (symtseries.c:481-492; lua_sax.c:155-174). Vectorized: the per-append
-      rings are one sliding_window_view over [state ‖ batch values] and one
-      kernel.symbolize_batch call — no per-value Python.
-    """
-    K.validate_nwc(n, w, c)
-    if emit not in ("batch", "append"):
-        raise ValueError(f"emit must be 'batch' or 'append', got {emit!r}")
-    per_append = emit == "append"
+    per_append: bool = False,
+    idle_timeout_ms: int | None = None,
+):
+    """The applyInPandasWithState update function for stateful_words,
+    factored to module level so the eviction law (an expired key re-enters
+    as a fresh all-'#' window — reference ``sts_reset_window`` semantics,
+    symtseries.c:647-664) is unit-testable against a fake GroupState
+    without driving a real stream through a processing-time timeout."""
 
     def update(key, pdf_iter, state: GroupState):
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # Idle-key eviction: drop the ring. The key's next append (if
+            # any) finds no state and starts from a fresh all-NaN window —
+            # exactly sts_reset_window. Without this, per-key state is
+            # O(distinct keys ever seen): unbounded on an open key space.
+            state.remove()
+            return
         if state.exists:
             ring_list, n_seen, last_us = state.get
             ring = np.asarray(ring_list, dtype=np.float64)
@@ -164,6 +158,8 @@ def stateful_words(
             elif len(vals):
                 ring = np.concatenate([ring[len(vals):], vals])
         state.update((ring.tolist(), int(n_seen), int(last_us)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(int(idle_timeout_ms))
         if per_append:
             if frames:
                 yield pd.concat(frames)
@@ -179,6 +175,53 @@ def stateful_words(
             }
         )
 
+    return update
+
+
+def stateful_words(
+    stream: DataFrame,
+    n: int,
+    w: int,
+    c: int,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    emit: str = "batch",
+    idle_timeout_ms: int | None = 30 * 60 * 1000,
+) -> DataFrame:
+    """Per-key sliding-window SAX word maintained as streaming state.
+
+    Mirrors reference semantics: a fresh window is all-NaN (word all '#'),
+    appends evict the oldest value, the word is recomputed over the ring.
+
+    emit="batch"  — one row per (key, micro-batch) with the word after the
+      batch's appends (reference law window == batch).
+    emit="append" — one row per APPENDED VALUE: the word after every single
+      append, exactly what the reference's ``sts_append_value`` returns
+      (symtseries.c:481-492; lua_sax.c:155-174). Vectorized: the per-append
+      rings are one sliding_window_view over [state ‖ batch values] and one
+      kernel.symbolize_batch call — no per-value Python.
+
+    idle_timeout_ms — processing-time TTL for idle keys (default 30 min).
+      A key with no appends for the TTL has its ring state REMOVED; its
+      next append re-enters as a fresh all-'#' window (reference
+      ``sts_reset_window``). This bounds the state store by arrival rate ×
+      TTL instead of total distinct keys — mandatory on an open-ended key
+      space (crawl URLs). Pass None to keep state forever (reference
+      parity for closed key sets).
+    """
+    K.validate_nwc(n, w, c)
+    if emit not in ("batch", "append"):
+        raise ValueError(f"emit must be 'batch' or 'append', got {emit!r}")
+    update = make_word_updater(
+        n, w, c, ts_col=ts_col, value_col=value_col,
+        per_append=(emit == "append"), idle_timeout_ms=idle_timeout_ms,
+    )
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         stream.select(
             F.col(key_col).cast("string").alias("key"),
@@ -191,7 +234,7 @@ def stateful_words(
             outputStructType=_WORD_OUTPUT,
             stateStructType=_WORD_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

@@ -401,3 +401,116 @@ def test_promote_words_splits_hot_bucket(spark):
     # cold buckets keep their word untouched
     cold = [wd for wd, v in variants.items() if v == {wd}]
     assert cold
+
+
+def _iter_replay(series_list, threshold, w, c, segments):
+    """Pure-python replay of promote_words_iter: per round, buckets over
+    threshold refine that round's segment to the 2c lowercase letter."""
+    from collections import Counter
+
+    base = [K.symbols_to_string(K.symbolize(s, w, c), c) for s in series_list]
+    fine = [
+        K.symbols_to_string(K.symbolize(s, w, 2 * c), 2 * c).lower()
+        for s in series_list
+    ]
+    cur = list(base)
+    for seg in segments:
+        cnt = Counter(cur)
+        cur = [
+            wd[:seg] + fine[i][seg] + wd[seg + 1 :] if cnt[wd] > threshold else wd
+            for i, wd in enumerate(cur)
+        ]
+    return base, cur
+
+
+def test_promote_words_iter_depth2_matches_replay(spark):
+    """Recursive iSAX-2.0 descent law (depth >= 2): the iterative splitter
+    must equal a pure-python replay row-for-row, at least one bucket must
+    actually reach depth 2, and any bucket split to fewer levels than
+    requested must be under the threshold (i.e. descent stops exactly when
+    buckets stop being hot)."""
+    from collections import Counter
+
+    from symtseries_spark.operators.index import promote_words_iter
+
+    n, w, c = 8, 4, 4
+    threshold = 10
+    rng = np.random.RandomState(5)
+    series = []
+    hot = rng.normal(size=n)
+    # 30 identical series: hot at base, identical fine word -> the seg-0
+    # split cannot separate them -> still hot -> forced seg-1 split
+    series += [hot.copy() for _ in range(30)]
+    # jittered variants + randoms to populate other buckets/depths
+    series += [hot + rng.normal(scale=0.4, size=n) for _ in range(40)]
+    series += [rng.normal(size=n) for _ in range(60)]
+    segments = (0, 1)
+
+    rows = [
+        Row(id=i, word=K.symbols_to_string(K.symbolize(s, w, c), c),
+            series=[float(x) for x in s])
+        for i, s in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["id"]: r["word_promoted"]
+        for r in promote_words_iter(df, threshold, w, c, n, segments).collect()
+    }
+    base, want = _iter_replay(series, threshold, w, c, segments)
+    assert got == {i: wd for i, wd in enumerate(want)}
+
+    def depth(word):
+        return sum(ch.islower() for ch in word)
+
+    depths = Counter(depth(wd) for wd in got.values())
+    assert depths.get(2, 0) >= 30, f"expected a depth-2 split, got {depths}"
+    # buckets that stopped early are genuinely cold
+    cnt = Counter(got.values())
+    for wd, k in cnt.items():
+        if depth(wd) < len(segments):
+            assert k <= threshold, (wd, k)
+
+
+def test_promoted_lookup_iter_descends_to_depth2(spark):
+    """Multi-level descent lookup: returns exactly the rows whose bucket
+    (at the bucket's own split depth) matches the query's refinement
+    chain — verified against the python replay."""
+    from symtseries_spark.operators.index import (
+        promote_words_iter,
+        promoted_lookup_iter,
+        promoted_query_words_iter,
+    )
+
+    n, w, c = 8, 4, 4
+    threshold = 10
+    rng = np.random.RandomState(11)
+    hot = rng.normal(size=n)
+    series = [hot.copy() for _ in range(30)]
+    series += [hot + rng.normal(scale=0.4, size=n) for _ in range(40)]
+    series += [rng.normal(size=n) for _ in range(60)]
+    segments = (0, 1)
+    rows = [
+        Row(id=i, word=K.symbols_to_string(K.symbolize(s, w, c), c),
+            series=[float(x) for x in s])
+        for i, s in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows)
+
+    q = hot  # query the replicated series: its bucket is split to depth 2
+    chain = promoted_query_words_iter(q, w, c, segments)
+    assert len(chain) == 3 and sum(ch.islower() for ch in chain[2]) == 2
+
+    got_ids = {
+        r["id"]
+        for r in promoted_lookup_iter(
+            df, q, w, c, n, segments=segments, threshold=threshold
+        ).collect()
+    }
+    base, promoted = _iter_replay(series, threshold, w, c, segments)
+    want_ids = {
+        i
+        for i in range(len(series))
+        if base[i] == chain[0] and promoted[i] in chain
+    }
+    assert got_ids == want_ids
+    assert set(range(30)) <= got_ids  # the exact-duplicate rows all match
