@@ -321,6 +321,24 @@ def q_promote_hot_words(spark, sf_dir):
     )
 
 
+def q_promote_iter_daily(spark, sf_dir):
+    """RECURSIVE iSAX-2.0 promotion (reference TODO symtseries.h:32,
+    round-4 extension of promote_hot_words): buckets still over the
+    threshold after the segment-0 split get segment 1 refined too —
+    depth-2 descent, so a row's lowercase-letter count is its bucket's
+    split depth. Oracle: two-round SQL replay of the bucket counts +
+    fine-letter substitution over the same Welford/PAA CTEs. Threshold 5
+    (not promote_hot_words' 20) so sub-buckets genuinely reach depth 2 at
+    the driver's sf0.01 check scale — the recursion is exercised, not
+    vacuous."""
+    from symtseries_spark.operators.index import promote_words_iter
+
+    words = _daily_words(spark, sf_dir)
+    return promote_words_iter(
+        words, threshold=5, w=12, c=8, n=24, segments=(0, 1)
+    ).select("key", "window_ts", "word", "word_promoted")
+
+
 def q_promoted_lookup(spark, sf_dir):
     """iSAX 2.0 sub-bucket descent against a STORED promoted index
     (verdict r2 #1): promotion is an index-MAINTENANCE step — the
@@ -1237,6 +1255,40 @@ def _promote_hot_words_sql(threshold: int = 20) -> str:
     )
 
 
+def _promote_iter_sql(threshold: int = 20) -> str:
+    """DuckDB replica of promote_words_iter(segments=(0, 1)): round 1
+    splits segment 0 of buckets over the threshold; round 2 re-counts the
+    ROUND-1 buckets (word_promoted) and splits segment 1 of those still
+    over it. Cold buckets can never re-enter (their counts are unchanged),
+    so two rounds of counting replicate the iterative descent exactly."""
+    return (
+        _words_cte()
+        + _fine_letters_cte()
+        + f"""
+        , cnts0 AS (SELECT word, count(*) AS n FROM wd GROUP BY 1)
+        , r1 AS (
+          SELECT w.key, w.window_ts, w.word,
+                 CASE WHEN c.n > {threshold}
+                      THEN f0.fl || substr(w.word, 2)
+                      ELSE w.word END AS wp
+          FROM wd w
+          JOIN cnts0 c ON c.word = w.word
+          JOIN fine f0 ON f0.key = w.key AND f0.window_ts = w.window_ts
+                       AND f0.f = 0
+        )
+        , cnts1 AS (SELECT wp, count(*) AS n FROM r1 GROUP BY 1)
+        SELECT r.key, r.window_ts, r.word,
+               CASE WHEN c.n > {threshold}
+                    THEN substr(r.wp, 1, 1) || f1.fl || substr(r.wp, 3)
+                    ELSE r.wp END AS word_promoted
+        FROM r1 r
+        JOIN cnts1 c ON c.wp = r.wp
+        JOIN fine f1 ON f1.key = r.key AND f1.window_ts = r.window_ts
+                     AND f1.f = 1
+    """
+    )
+
+
 def _promoted_lookup_sql(threshold: int = 20) -> str:
     """DuckDB replica of the stored-index promoted lookup, INCLUDING the
     build-time probe selection: hottest word bucket (count desc, word
@@ -1953,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_knn_daily": q_exact_knn_daily,
         # rows-only (no faithful DuckDB expression)
         "promote_hot_words": q_promote_hot_words,
+        "promote_iter_daily": q_promote_iter_daily,
         "promoted_lookup": q_promoted_lookup,
         "minhash_dupes_docs": q_minhash_dupes_docs,
         "embedding_dupes": q_embedding_dupes,
@@ -2188,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dupes_docs": _minhash_dupes_sql(),
         "embedding_dupes": _embedding_dupes_sql(),
         "promote_hot_words": _promote_hot_words_sql(),
+        "promote_iter_daily": _promote_iter_sql(threshold=5),
         "promoted_lookup": _promoted_lookup_sql(),
         "doc_fingerprints": _fingerprint_sql(),
         "media_features": _media_features_sql(),
