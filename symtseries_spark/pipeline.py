@@ -69,12 +69,19 @@ def run_pipeline(
     hot_keys: list | None = None,
     checkpoint_path: str | None = None,
     run_id: str | None = None,
-    handoff: str = "memory",
+    handoff: str | None = None,
 ) -> dict:
     """Run the full pipeline, persisting every stage output under out_dir
     (a TemporaryDirectory when not given). Returns metrics: rolled-up
     points per tier, words indexed, chunks written, wall sec, points/sec.
+
+    ``handoff`` defaults to $SYMT_PIPELINE_HANDOFF or "memory" (see module
+    docstring for the two strategies).
     """
+    import os as _os
+
+    if handoff is None:
+        handoff = _os.environ.get("SYMT_PIPELINE_HANDOFF", "memory")
     if handoff not in ("memory", "table"):
         raise ValueError(f"handoff must be 'memory' or 'table', got {handoff!r}")
     cfg = cfg or EngineConfig()

@@ -154,3 +154,33 @@ def test_bucket_epoch_matches_window_semantics(spark):
         ).collect()
         for r in rows:
             assert r.mine == r.theirs, (tier, r)
+
+def test_pipeline_handoff_parity(spark, crawl, tmp_path):
+    """The memory and table producer→consumer handoffs must emit byte-
+    equal tier stores, identical index words, and chunk payloads that
+    decode to the same points — the handoff is an execution strategy, not
+    a semantic choice."""
+    out_m = str(tmp_path / "out_mem")
+    out_t = str(tmp_path / "out_tab")
+    run_pipeline(spark, crawl, out_dir=out_m, handoff="memory")
+    run_pipeline(spark, crawl, out_dir=out_t, handoff="table")
+
+    def rows(path, cols):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).select(*cols).collect()
+        )
+
+    tier_cols = ["tier", "key", "bucket_ts", "crawl_cnt", "cnt", "sum", "sumsq"]
+    assert rows(f"{out_m}/rollup", tier_cols) == rows(f"{out_t}/rollup", tier_cols)
+    idx_cols = ["key", "window_ts", "word"]
+    assert rows(f"{out_m}/index", idx_cols) == rows(f"{out_t}/index", idx_cols)
+
+    from symtseries_spark.operators.codecs import decode_chunks
+
+    def decoded(path):
+        return sorted(
+            (r.key, r.bucket_ts, round(r.value, 9))
+            for r in decode_chunks(spark.read.parquet(path)).collect()
+        )
+
+    assert decoded(f"{out_m}/chunks") == decoded(f"{out_t}/chunks")
