@@ -1857,18 +1857,28 @@ def q_sax_discords_daily(spark, sf_dir):
     semantics) from the key's other daily words — the day that least
     resembles the series' own history.
 
-    Plan shape: the pairwise mindist UDF runs over DISTINCT (word, word)
-    pairs only (vocabulary² bound, not days²) and broadcast-joins back;
-    the per-key pair blow-up is bounded by the retention horizon
-    (days ≤ 365), never by corpus size.
+    Plan shape (round-4 histogram formulation): the day×day pair blow-up
+    never materializes. Per key, words collapse to a (word, multiplicity)
+    HISTOGRAM; the pairwise mindist UDF runs over per-key DISTINCT word
+    pairs (Σ_k |vocab_k|² rows — bounded by retention days², usually far
+    below it); and day a's partner average is recovered algebraically:
+
+        avg_dist(a) = (Σ_w' m(w')·d(w_a, w') − d(w_a, w_a)) / (D − 1)
+
+    (the self-day is the one excluded partner; d(w,w) can be non-zero for
+    '#'-bearing words under the reference's sentinel substitution, so it
+    is subtracted explicitly, not assumed 0). No broadcast of a vocab²
+    distance table, no join-back over day-pairs — shuffles carry
+    histogram/output cardinality only. FP note: the weighted sum equals
+    the pairwise mean exactly up to summation order; round(6) absorbs it
+    (hash-verified against the pairwise formulation at 3 SFs).
 
     The daily-word derivation (1m→1h rollup + mapInArrow symbolization,
-    the dominant cost) feeds BOTH sides of the self-join AND the distinct-
-    pair branch — eagerly localCheckpoint it so it runs ONCE per call
-    instead of twice. The checkpointed set is (key, day, word): tiny
-    relative to the raw input (retention-horizon-bounded), so it fits
-    executor storage at any corpus scale; at 100 TB the same role is
-    played by reading the stored word index (see q_promoted_lookup)."""
+    the dominant cost) feeds the histogram, the day list, and the per-key
+    day counts — eagerly localCheckpoint it so it runs ONCE per call. The
+    checkpointed set is (key, day, word): retention-bounded, fits executor
+    storage at any corpus scale; at 100 TB the same role is played by
+    reading the stored word index (see q_promoted_lookup)."""
     from symtseries_spark.operators.symbolize import mindist_pair_udf
     from pyspark.sql import Window as Wn
 
@@ -1877,36 +1887,38 @@ def q_sax_discords_daily(spark, sf_dir):
         .select("key", "window_ts", "word", "n")
         .localCheckpoint(eager=True)
     )
-    a, b = wrds.alias("a"), wrds.alias("b")
-    pairs = (
-        a.join(b, "key")
-        .filter(F.col("a.window_ts") != F.col("b.window_ts"))
-        .select(
-            "key",
-            F.col("a.window_ts").alias("window_ts"),
-            F.col("a.word").alias("wa"), F.col("b.word").alias("wb"),
-            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
-        )
+    hist = wrds.groupBy("key", "word", "n").agg(F.count(F.lit(1)).alias("m"))
+    a, b = hist.alias("a"), hist.alias("b")
+    hp = a.join(b, "key").select(
+        "key",
+        F.col("a.word").alias("wa"), F.col("a.n").alias("na"),
+        F.col("b.word").alias("wb"), F.col("b.n").alias("nb"),
+        F.col("b.m").alias("mb"),
     )
-    dp = pairs.select("wa", "wb", "na", "nb").distinct()
-    dd = dp.withColumn("d", mindist_pair_udf(8)("wa", "wb", "na", "nb"))
-    j = pairs.join(F.broadcast(dd), ["wa", "wb", "na", "nb"])
-    # wa is constant within (key, window_ts) — grouping by it carries the
-    # discord day's own word through, saving a third scan of the daily
-    # word derivation (the a/b self-join already costs two)
-    agg = (
-        j.filter(~F.isnan("d"))
-        .groupBy("key", "window_ts", F.col("wa").alias("word"))
-        .agg(
-            F.round(F.avg("d"), 6).alias("avg_dist"),
-            F.count(F.lit(1)).alias("n_partners"),
+    hd = hp.withColumn("d", mindist_pair_udf(8)("wa", "wb", "na", "nb"))
+    tot = hd.groupBy("key", F.col("wa").alias("word")).agg(
+        F.sum(F.col("mb") * F.col("d")).alias("sum_d"),
+        # the self pair (wa == wb) exists exactly once per (key, word)
+        F.max(
+            F.when(F.col("wa") == F.col("wb"), F.col("d"))
+        ).alias("d_self"),
+    )
+    dk = wrds.groupBy("key").agg(F.count(F.lit(1)).alias("D"))
+    res = (
+        wrds.join(tot, ["key", "word"])
+        .join(dk, "key")
+        .filter(F.col("D") > 1)  # single-day keys have no partners
+        .withColumn(
+            "avg_dist",
+            F.round((F.col("sum_d") - F.col("d_self")) / (F.col("D") - 1), 6),
         )
+        .withColumn("n_partners", F.col("D") - 1)
     )
     rn = F.row_number().over(
         Wn.partitionBy("key").orderBy(F.col("avg_dist").desc(), "window_ts")
     )
     return (
-        agg.withColumn("rn", rn)
+        res.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("key", "window_ts", "word", "avg_dist", "n_partners")
     )
