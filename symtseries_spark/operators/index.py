@@ -610,6 +610,70 @@ def promoted_query_words_iter(
     return words
 
 
+def build_promoted_index_iter(
+    symbolized: DataFrame,
+    path: str,
+    segments: tuple,
+    threshold: int,
+    w: int,
+    c: int,
+    n: int,
+    extra_meta: dict | None = None,
+) -> None:
+    """Materialize the RECURSIVELY promoted inverted index: like
+    build_promoted_index, but buckets still hot after a split descend into
+    the next segment (promote_words_iter). Same storage layout — one row
+    per window, partitioned by the base word's 2-symbol prefix — so a
+    lookup stays partition pruning + word equality; the descent depth only
+    changes the word_promoted values, never the layout."""
+    import json
+    import os
+
+    promoted = promote_words_iter(
+        symbolized, threshold, w=w, c=c, n=n, segments=tuple(segments)
+    )
+    idx = promoted.select(
+        "key",
+        "window_ts",
+        "word",
+        "word_promoted",
+        F.substring("word", 1, 2).alias("prefix"),
+    )
+    idx.repartition("prefix").write.mode("overwrite").partitionBy(
+        "prefix"
+    ).parquet(path)
+    meta = {
+        "segments": [int(s) for s in segments],
+        "threshold": threshold,
+        "w": w,
+        "c": c,
+        "n": n,
+    }
+    meta.update(extra_meta or {})
+    with open(os.path.join(path, "_promoted_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def promoted_lookup_iter_indexed(
+    spark, path: str, query_series: np.ndarray
+) -> DataFrame:
+    """Multi-level descent against a STORED recursively-promoted index:
+    probe words are driver-side kernel math, the scan prunes on the
+    ``prefix`` partition column, and a bucket split to depth d matches iff
+    its word_promoted equals the query's depth-d refinement — one IN over
+    the refinement chain."""
+    meta = read_promoted_meta(path)
+    chain = promoted_query_words_iter(
+        query_series, meta["w"], meta["c"], tuple(meta["segments"])
+    )
+    idx = spark.read.parquet(path)
+    return idx.filter(
+        (F.col("prefix") == chain[0][:2])
+        & (F.col("word") == chain[0])
+        & F.col("word_promoted").isin(chain)
+    ).drop("prefix")
+
+
 def promoted_lookup_iter(
     symbolized: DataFrame,
     query_series: np.ndarray,

@@ -514,3 +514,45 @@ def test_promoted_lookup_iter_descends_to_depth2(spark):
     }
     assert got_ids == want_ids
     assert set(range(30)) <= got_ids  # the exact-duplicate rows all match
+
+
+def test_stored_iter_promoted_index_matches_adhoc_and_prunes(spark, tmp_path):
+    """The stored recursively-promoted index must return the same rows as
+    the ad-hoc promoted_lookup_iter and read a partition-pruned scan."""
+    from symtseries_spark.operators.index import (
+        build_promoted_index_iter,
+        promoted_lookup_iter,
+        promoted_lookup_iter_indexed,
+        read_promoted_meta,
+    )
+
+    n, w, c = 8, 4, 4
+    threshold = 10
+    rng = np.random.RandomState(11)
+    hot = rng.normal(size=n)
+    series = [hot.copy() for _ in range(30)]
+    series += [hot + rng.normal(scale=0.4, size=n) for _ in range(40)]
+    series += [rng.normal(size=n) for _ in range(60)]
+    segments = (0, 1)
+    rows = [
+        Row(key=f"k{i}", window_ts=dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+            word=K.symbols_to_string(K.symbolize(s, w, c), c),
+            series=[float(x) for x in s])
+        for i, s in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "iter_promoted")
+    build_promoted_index_iter(df, path, segments, threshold, w=w, c=c, n=n)
+    assert read_promoted_meta(path)["segments"] == [0, 1]
+
+    got = promoted_lookup_iter_indexed(spark, path, hot)
+    want = promoted_lookup_iter(
+        df, hot, w, c, n, segments=segments, threshold=threshold
+    )
+    cols = ["key", "window_ts", "word", "word_promoted"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    # the scan must prune on the prefix partition column
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "prefix" in plan
