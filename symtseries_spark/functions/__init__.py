@@ -3,6 +3,7 @@ expression / UDF factory the engine exposes (the Spark analogue of the
 reference's 13-function Lua API, /root/reference/lua/lua_sax.c:387-409).
 """
 
+from symtseries_spark.operators.index import fine_word_udf  # noqa: F401
 from symtseries_spark.operators.symbolize import (  # noqa: F401
     mindist_pair_udf,
     mindist_udf,
@@ -29,6 +30,7 @@ __all__ = [
     "sax_word_udf",
     "mindist_udf",
     "mindist_pair_udf",
+    "fine_word_udf",
     "token_count",
     "subword_count",
     "quality_score",

@@ -18,7 +18,9 @@ from pyspark.sql import SparkSession
 #: chunk encode ≈ 1 : 2 : 3 serial wall on the r2 ladder). Equal-weight
 #: pools let the heaviest consumer straggle alone at the end of the phase;
 #: work-proportional shares make the three consumers finish together.
-POOL_WEIGHTS = {"cascades": 1, "index": 2, "chunks": 3}
+#: write_1m is the memory-handoff pipeline's concurrent tier write — light
+#: (cache → parquet, no compute), weight 1.
+POOL_WEIGHTS = {"cascades": 1, "index": 2, "chunks": 3, "write_1m": 1}
 
 
 def _allocation_file() -> str:
