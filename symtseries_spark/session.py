@@ -14,13 +14,16 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-#: FAIR pool weights ∝ measured consumer work (cascade tiers : iSAX index :
-#: chunk encode ≈ 1 : 2 : 3 serial wall on the r2 ladder). Equal-weight
-#: pools let the heaviest consumer straggle alone at the end of the phase;
-#: work-proportional shares make the three consumers finish together.
-#: write_1m is the memory-handoff pipeline's concurrent tier write — light
-#: (cache → parquet, no compute), weight 1.
-POOL_WEIGHTS = {"cascades": 1, "index": 2, "chunks": 3, "write_1m": 1}
+#: FAIR pool weights ∝ measured consumer work. Re-tuned for the round-4
+#: memory handoff (consumers read the cached 1m tier, not files): the
+#: cascade chain — two dependent shuffles + two partitioned writes — is
+#: now the longest critical path and straggled alone under the old
+#: 1:2:3 split (3.6 s vs 2.7 s peers at local[32]); cascades-heavy
+#: weights bring all four jobs' finishes within ~0.3 s of each other and
+#: cut the warm pipeline wall ~1.6×. write_1m (cache → parquet, no
+#: compute) stays light. Override with SYMT_POOL_WEIGHTS="c,i,ch,w" for
+#: A/B runs.
+POOL_WEIGHTS = {"cascades": 3, "index": 2, "chunks": 2, "write_1m": 1}
 
 
 def _allocation_file() -> str:
