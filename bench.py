@@ -193,7 +193,7 @@ def main() -> None:
     headline = [
         "rollup_1m",
         "rollup_1h",
-        "gapfill_locf_1h",
+        "gapfill_1h",
         "sax_words_daily",
         "mindist_topk_daily",
         "gorilla_roundtrip_1h",

@@ -153,13 +153,24 @@ def train_centroids(emb: DataFrame, n_centroids: int = 16,
 
     The collected sample is HARD-CAPPED at ``max_rows`` regardless of
     ``sample``: a fraction-only sample of a 10^12-row corpus would pull
-    the corpus to the driver. k-means quality saturates long before 100k
-    points for a coarse quantizer of ≤ a few thousand cells, so the cap
-    loses nothing; corpora smaller than the cap are unaffected (bit-
+    the corpus to the driver. The cap is enforced by SHRINKING the sample
+    fraction to target ~max_rows (count() is metadata-cheap on columnar
+    stores), not by limit() alone — limit() takes rows from the first
+    partitions, which on key/time-clustered corpora yields a biased
+    training sample. limit() remains only as a hard safety stop for the
+    sampler's statistical overage. k-means quality saturates long before
+    100k points for a coarse quantizer of ≤ a few thousand cells; corpora
+    where ``sample`` already lands under the cap are unaffected (bit-
     identical centroids to the uncapped path)."""
+    frac = min(1.0, sample)
+    n = emb.count()
+    if n * frac > max_rows:
+        # aim 5% over the cap so the Bernoulli sampler rarely undershoots;
+        # the limit() below trims only that small deliberate overage
+        frac = min(frac, 1.05 * max_rows / n)
     rows = (
         emb.select(vec_col)
-        .sample(fraction=min(1.0, sample), seed=seed)
+        .sample(fraction=frac, seed=seed)
         .limit(int(max_rows))
         .collect()
     )

@@ -187,7 +187,7 @@ def stateful_words(
     ts_col: str = "ts",
     value_col: str = "value",
     emit: str = "batch",
-    idle_timeout_ms: int | None = 30 * 60 * 1000,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key sliding-window SAX word maintained as streaming state.
 
@@ -202,13 +202,14 @@ def stateful_words(
       rings are one sliding_window_view over [state ‖ batch values] and one
       kernel.symbolize_batch call — no per-value Python.
 
-    idle_timeout_ms — processing-time TTL for idle keys (default 30 min).
-      A key with no appends for the TTL has its ring state REMOVED; its
-      next append re-enters as a fresh all-'#' window (reference
-      ``sts_reset_window``). This bounds the state store by arrival rate ×
-      TTL instead of total distinct keys — mandatory on an open-ended key
-      space (crawl URLs). Pass None to keep state forever (reference
-      parity for closed key sets).
+    idle_timeout_ms — processing-time TTL for idle keys (OPT-IN; default
+      None keeps state forever, exact reference parity: a window only resets
+      via ``sts_reset_window``). When set, a key with no appends for the TTL
+      has its ring state REMOVED; its next append re-enters as a fresh
+      all-'#' window. Set it (e.g. 30*60*1000) on any open-ended key space
+      (crawl URLs) — it bounds the state store by arrival rate × TTL instead
+      of total distinct keys. Eviction deliberately changes emitted words
+      after long gaps, so it is not the default.
     """
     K.validate_nwc(n, w, c)
     if emit not in ("batch", "append"):

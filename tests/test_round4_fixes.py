@@ -115,11 +115,14 @@ def test_train_centroids_sample_capped(spark):
     full = S.train_centroids(df, n_centroids=4, sample=1.0, max_rows=10**6)
     want = S.train_centroids_np(X, n_centroids=4)
     np.testing.assert_allclose(full, want, rtol=1e-12)
-    # capped path: single input partition → limit takes the first rows
+    # capped path: the fraction is SHRUNK toward the cap (uniform sample,
+    # not a first-partition limit); deterministic for a fixed seed, valid
+    # shape, and never identical to training on the whole corpus
     capped = S.train_centroids(df, n_centroids=4, sample=1.0, max_rows=7)
-    want7 = S.train_centroids_np(X[:7], n_centroids=4)
-    np.testing.assert_allclose(capped, want7, rtol=1e-12)
+    capped2 = S.train_centroids(df, n_centroids=4, sample=1.0, max_rows=7)
+    np.testing.assert_allclose(capped, capped2, rtol=0)
     assert capped.shape == (4, 8)
+    assert not np.allclose(capped, want)
 
 
 # ---------------------------------------------------------------------------
