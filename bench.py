@@ -179,6 +179,84 @@ def bench_streaming_tiers(spark, sf: str) -> dict:
     }
 
 
+def bench_word_index_build(spark) -> dict:
+    """Build cost of the stored daily-words index (verdict r4 #4): the
+    1m→1h rollup + symbolization that every word-level query used to pay
+    per call now runs ONCE here; sax_discords_daily below reads the
+    store. Forced rebuild so the build cost is measured and disclosed
+    every round, never amortized away silently."""
+    path = E._ann_index_dir(SF_DIR, "words1d", "w12c8_1h", src="events.parquet")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    E._daily_words_stored(spark, SF_DIR)
+    return {"build_sec": round(time.time() - t0, 3)}
+
+
+def bench_promoted_iter_probe(spark) -> dict:
+    """Stored recursively-promoted index (verdict r4 #8): time the build
+    once, then the partition-pruned probe (min-of-3), plus one ad-hoc
+    run of the same lookup that re-derives words + promotion per call —
+    the pair quantifies what storing the index buys."""
+    import numpy as np
+
+    from symtseries_spark.operators.index import (
+        build_promoted_index_iter,
+        promoted_lookup_iter,
+        promoted_lookup_iter_indexed,
+        read_promoted_meta,
+    )
+
+    path = os.path.join(BENCH_DATA, "promoted_iter_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    words = E._daily_words(spark, SF_DIR).persist()
+    try:
+        t0 = time.time()
+        hot = (
+            words.groupBy("word")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("word"))
+            .first()
+        )
+        probe = (
+            words.filter(F.col("word") == hot.word)
+            .orderBy("key", "window_ts")
+            .select("series")
+            .first()
+        )
+        seg0 = next((i for i, ch in enumerate(hot.word) if ch != "#"), 0)
+        segs = (seg0, seg0 + 1) if seg0 + 1 < len(hot.word) else (seg0,)
+        build_promoted_index_iter(
+            words, path, segs, threshold=20, w=12, c=8, n=24,
+            extra_meta={"probe": [float(x) for x in probe.series]},
+        )
+        build = round(time.time() - t0, 3)
+    finally:
+        words.unpersist()
+
+    qs_arr = np.array(read_promoted_meta(path)["probe"], dtype=float)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        promoted_lookup_iter_indexed(spark, path, qs_arr).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(round(time.time() - t0, 3))
+
+    # ad-hoc comparison: same lookup with per-call derivation + promotion
+    t0 = time.time()
+    promoted_lookup_iter(
+        E._daily_words(spark, SF_DIR), qs_arr, w=12, c=8, n=24,
+        segments=segs, threshold=20,
+    ).write.format("noop").mode("overwrite").save()
+    adhoc = round(time.time() - t0, 3)
+    return {
+        "build_sec": build,
+        "probe_sec": min(runs),
+        "probe_runs": runs,
+        "adhoc_sec": adhoc,
+    }
+
+
 def main() -> None:
     sf = _sf_of(SF_DIR)
     spark = get_spark("symtseries-bench", master=f"local[{CPUS}]",
@@ -205,6 +283,8 @@ def main() -> None:
         "m4_downsample_1h",
         "sax_discords_daily",
     ]
+    widx = bench_word_index_build(spark)
+
     qs = E.queries()
     all_runs: dict[str, list] = {}
     for name in headline:
@@ -226,6 +306,8 @@ def main() -> None:
     timings["incremental_rerun_1pct"] = inc["sec"]
     st = bench_streaming_tiers(spark, sf)
     timings["streaming_tiers_epoch"] = st["sec"]
+    pp = bench_promoted_iter_probe(spark)
+    timings["promoted_iter_probe"] = pp["probe_sec"]
 
     total = round(sum(timings.values()), 3)
     points = pm["points_1m"] + pm["points_1h"] + pm["points_1d"]
@@ -247,6 +329,8 @@ def main() -> None:
         "rollup_pipeline_cold": round(cold, 3),
         "incremental": inc,
         "streaming_tiers": st,
+        "words_index": widx,
+        "promoted_iter_probe": pp,
         "queries_runs": all_runs,
         "pipeline_consumer_secs": {
             k: v for k, v in pm.get("timings", {}).items()

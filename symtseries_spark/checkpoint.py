@@ -137,27 +137,27 @@ def write_partitioned(
     )
 
 
-def upsert_tier(spark, updates: DataFrame, path: str, tier: str) -> list:
-    """Merge changed (key, bucket) rows into the partitioned tier store —
-    the write half of CONTINUOUS-aggregate maintenance: ``updates``
-    carries the current aggregate rows for the buckets an increment
-    touched (e.g. one streaming epoch in update mode), and only the
-    affected (tier, bucket_date) partitions are rewritten.
+def _path_exists(spark, path: str) -> bool:
+    """Filesystem-truth existence probe via the Hadoop FS API (works for
+    local paths, HDFS, and object stores alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
-    New partition content = surviving old rows (anti-join on
-    (key, bucket_ts)) ∪ updates; dynamic partition overwrite leaves every
-    untouched date alone. The old rows are localCheckpoint-ed first so
-    the overwrite never reads from the path it is rewriting.
 
-    Returns the list of affected bucket_date values (driver-side, bounded
-    by the watermark horizon — an epoch can only touch dates within it).
-    """
+def _merge_tier(spark, updates: DataFrame, path: str, tier: str):
+    """The merge half of upsert_tier: returns (dates, merged) where
+    ``merged`` is the FULL post-merge content of the touched partitions,
+    localCheckpoint-ed (eager) so it can be written AND re-consumed (the
+    1h/1d re-cascade) without re-reading the store or replaying the
+    epoch's aggregation."""
     up = updates.withColumn("bucket_date", F.to_date("bucket_ts"))
     dates = [
         r["bucket_date"] for r in up.select("bucket_date").distinct().collect()
     ]
     if not dates:
-        return dates
+        return dates, None
     up = up.drop("bucket_date")
     from pyspark.errors import AnalysisException
 
@@ -170,25 +170,52 @@ def upsert_tier(spark, updates: DataFrame, path: str, tier: str) -> list:
         )
         survivors = existing.join(
             up.select("key", "bucket_ts"), ["key", "bucket_ts"], "left_anti"
-        ).localCheckpoint(eager=True)
+        )
         merged = survivors.unionByName(up)
     except AnalysisException as e:
         # ONLY a missing store means "first write". Any other analysis
         # error (schema drift, corrupt footer, ...) must surface — merging
         # `up` alone would silently drop every surviving old row in the
-        # touched partitions.
+        # touched partitions. The error-class/message match is belt; the
+        # filesystem existence probe is suspenders for Spark versions /
+        # locales whose missing-path error carries neither marker.
         get_cls = getattr(e, "getCondition", None) or getattr(
             e, "getErrorClass", lambda: None
         )
         err_cls = get_cls() or ""
-        if "PATH_NOT_FOUND" not in str(err_cls) and "PATH_NOT_FOUND" not in str(e):
+        missing = "PATH_NOT_FOUND" in str(err_cls) or "PATH_NOT_FOUND" in str(e)
+        if not missing and not err_cls:
+            missing = not _path_exists(spark, path)
+        if not missing:
             raise
         merged = up
-    write_partitioned(merged, path, tier)
+    return dates, merged.localCheckpoint(eager=True)
+
+
+def upsert_tier(spark, updates: DataFrame, path: str, tier: str) -> list:
+    """Merge changed (key, bucket) rows into the partitioned tier store —
+    the write half of CONTINUOUS-aggregate maintenance: ``updates``
+    carries the current aggregate rows for the buckets an increment
+    touched (e.g. one streaming epoch in update mode), and only the
+    affected (tier, bucket_date) partitions are rewritten.
+
+    New partition content = surviving old rows (anti-join on
+    (key, bucket_ts)) ∪ updates; dynamic partition overwrite leaves every
+    untouched date alone. The merged rows are localCheckpoint-ed first so
+    the overwrite never reads from the path it is rewriting.
+
+    Returns the list of affected bucket_date values (driver-side, bounded
+    by the watermark horizon — an epoch can only touch dates within it).
+    """
+    dates, merged = _merge_tier(spark, updates, path, tier)
+    if merged is not None:
+        write_partitioned(merged, path, tier)
     return dates
 
 
-def upsert_tiers_increment(spark, updates_1m: DataFrame, path: str) -> None:
+def upsert_tiers_increment(
+    spark, updates_1m: DataFrame, path: str, timings: dict | None = None
+) -> None:
     """Apply a 1m-tier increment and re-derive the affected 1h/1d buckets
     — the full continuous-aggregate maintenance step.
 
@@ -196,18 +223,57 @@ def upsert_tiers_increment(spark, updates_1m: DataFrame, path: str) -> None:
     re-cascading the (just-merged) 1m partials of those dates; since no
     1h/1d bucket spans a date boundary, rewriting whole affected date
     partitions is both correct and exactly partition-aligned.
+
+    Per-epoch job layout (the number that sets streaming throughput):
+    the merged 1m rows are localCheckpoint-ed ONCE and feed both the 1m
+    write and the 1h cascade — the store is never re-read within an
+    epoch — and each tier's write overlaps the next tier's cascade
+    compute (checkpointed inputs make concurrent consumption free):
+
+        merge(ckpt) → [write 1m ∥ cascade 1h(ckpt) → [write 1h ∥
+                       cascade 1d → write 1d]]
+
+    ``timings``: optional dict filled with per-phase wall seconds.
     """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
     from symtseries_spark.operators.rollup import rollup_cascade
 
-    dates = upsert_tier(spark, updates_1m, path, "1m")
+    def _mark(label, since):
+        now = time.time()
+        if timings is not None:
+            timings[label] = round(now - since, 3)
+        return now
+
+    t0 = time.time()
+    dates, merged_1m = _merge_tier(spark, updates_1m, path, "1m")
+    t = _mark("merge_1m", t0)
     if not dates:
         return
-    t1m = (
-        spark.read.parquet(path)
-        .filter((F.col("tier") == "1m") & F.col("bucket_date").isin(dates))
-        .drop("bucket_date")
-    )
-    t1h = rollup_cascade(t1m, "1h").localCheckpoint(eager=True)
-    write_partitioned(t1h, path, "1h")
-    t1d = rollup_cascade(t1h, "1d")
-    write_partitioned(t1d, path, "1d")
+
+    sc = spark.sparkContext
+
+    def _write(df, tier):
+        # distinct FAIR pools let the overlapped write/cascade pairs
+        # interleave instead of queueing FIFO behind each other
+        sc.setLocalProperty("spark.scheduler.pool", f"upsert_{tier}")
+        try:
+            write_partitioned(df, path, tier)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(2) as pool:
+        w1m = pool.submit(_write, merged_1m, "1m")
+        t1h = rollup_cascade(merged_1m, "1h").localCheckpoint(eager=True)
+        t = _mark("cascade_1h", t)
+        w1h = pool.submit(_write, t1h, "1h")
+        t1d = rollup_cascade(t1h, "1d").localCheckpoint(eager=True)
+        t = _mark("cascade_1d", t)
+        _write(t1d, "1d")
+        t = _mark("write_1d", t)
+        w1m.result()
+        w1h.result()
+    _mark("writes_drain", t)
+    if timings is not None:
+        timings["total"] = round(time.time() - t0, 3)

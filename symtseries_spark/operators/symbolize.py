@@ -309,6 +309,201 @@ def symbolize_windows(
     return df.mapInArrow(_symbolize_partition, out_schema)
 
 
+def pair_cellsq_table(c: int) -> list:
+    """Flat (c+1)×(c+1) table of SQUARED per-position mindist cells for an
+    arbitrary letter pair under the reference's pair semantics
+    (sts_mindist_ab, /root/reference/src/symtseries.c:578-636): a '#' on
+    one side substitutes the extreme farthest from the other side's real
+    symbol; both-'#' positions contribute 0. Indexed by
+    ``(ia-1)*(c+1) + ib`` where ia/ib are the 1-based positions of the
+    letters in ``'ABCDEFGH…#'`` — the layout :func:`mindist_pair_expr`
+    and the DuckDB oracle CASE both consume."""
+    dist = K.dist_matrix(c)
+
+    def sym(i):  # letter index 0..c-1 → symbol (A = c-1, descending)
+        return c - 1 - i
+
+    flat = []
+    for ia in range(c + 1):
+        for ib in range(c + 1):
+            if ia == c and ib == c:
+                cell2 = 0.0
+            elif ia == c:
+                sb = sym(ib)
+                sa = 0 if sb > (c - 1 - sb) else c - 1
+                cell2 = float(dist[sa, sb]) ** 2
+            elif ib == c:
+                sa = sym(ia)
+                sb = 0 if sa > (c - 1 - sa) else c - 1
+                cell2 = float(dist[sa, sb]) ** 2
+            else:
+                cell2 = float(dist[sym(ia), sym(ib)]) ** 2
+            flat.append(cell2)
+    return flat
+
+
+def mindist_pair_expr(wa, wb, na, nb, c: int = 8, w: int | None = None):
+    """Pairwise mindist as a pure BUILT-IN Column expression — the
+    JVM/codegen twin of :func:`mindist_pair_udf` for the hot path where
+    BOTH sides vary per row (discord discovery runs it over ~|vocab_k|²
+    rows per key). Per-position squared cells come from a broadcast
+    (c+1)² literal LUT (:func:`pair_cellsq_table`, float64 — the same
+    values the DuckDB oracle CASE carries); the word strings are zipped
+    character-wise, so no Arrow transfer, no Python worker, and the whole
+    pair pass stays inside whole-stage codegen.
+
+    Width rule (reference sts_mindist_ab): different-length words are
+    incomparable → NULL (the UDF's NaN, already null-ed by callers).
+    n-compat rule: mismatched positive n → NULL; n==0 on one side adopts
+    the other side's n, both 0 → w (kernel.mindist_pairs:411-417)."""
+    wa, wb = F.col(wa) if isinstance(wa, str) else wa, (
+        F.col(wb) if isinstance(wb, str) else wb
+    )
+    na, nb = F.col(na) if isinstance(na, str) else na, (
+        F.col(nb) if isinstance(nb, str) else nb
+    )
+    letters = "".join(chr(ord("A") + i) for i in range(c)) + "#"
+    lut = F.array(*[F.lit(v) for v in pair_cellsq_table(c)])
+    idx = lambda ch: F.instr(F.lit(letters), ch)  # noqa: E731 — 1-based
+    cells = F.zip_with(
+        F.split(wa, ""),
+        F.split(wb, ""),
+        lambda a, b: F.element_at(lut, (idx(a) - F.lit(1)) * (c + 1) + idx(b)),
+    )
+    sq = F.aggregate(cells, F.lit(0.0), lambda acc, x: acc + x)
+    wlen = F.length(wa).cast("double") if w is None else F.lit(float(w))
+    n_eff = F.when(na > 0, na.cast("double")).otherwise(nb.cast("double"))
+    n_eff = F.when(n_eff == 0, wlen).otherwise(n_eff)
+    compat = (na == nb) | (na == 0) | (nb == 0)
+    return F.when(
+        (F.length(wa) == F.length(wb)) & compat,
+        F.sqrt(n_eff / wlen) * F.sqrt(sq),
+    )
+
+
+def pair_sums_by_key(hist: DataFrame, c: int) -> DataFrame:
+    """Discord partner sums straight from a per-key word histogram: for
+    each (key, word, n) row i return
+
+        sum_d_i  = Σ_j m_j · d(word_i, word_j)   (NaN pairs contribute 0,
+        d_self_i = d(word_i, word_i)              matching null-skip sums)
+
+    with d = the reference pairwise mindist (kernel.mindist_pairs).
+
+    This replaces the materialized |vocab_k|²-row self-join + pair UDF:
+    the Σ|vocab_k|² pair space is never shuffled or even emitted as rows —
+    each key's pair block lives for one numpy pass, and only the V-row
+    sums come back. Per-key vocab is bounded by the retention horizon
+    (days of daily words), so the blocks are small at ANY corpus scale;
+    total work is Σ V_k² numpy cells.
+
+    One row per key enters the UDF (collect_list of the key's histogram —
+    NOT applyInPandas, whose per-group pandas materialization costs ~ms ×
+    key-count), so one Arrow batch carries hundreds of keys and ONE numpy
+    pass computes every key's pair block: global (ii, jj) index vectors
+    address the concatenated word table, `kernel.mindist_pairs` runs once
+    over all Σ V_k² pairs, and segment sums (`np.add.reduceat`) recover
+    the per-word partner totals. Strings are decoded once per WORD, not
+    once per pair side — the r4 pair-join UDF paid the decode ~2·ΣV_k²
+    times.
+    """
+    from pyspark.sql.types import ArrayType as _A
+    from pyspark.sql.types import DoubleType as _D
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    n_type = hist.schema["n"].dataType
+    out_t = _A(
+        _ST(
+            [
+                _SF("word", hist.schema["word"].dataType),
+                _SF("n", n_type),
+                _SF("sum_d", _D()),
+                _SF("d_self", _D()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def _sums(ws: pd.Series, ns: pd.Series, ms: pd.Series) -> pd.Series:
+        nk = len(ws)
+        if nk == 0:
+            return pd.Series([], dtype=object)
+        V = np.fromiter((len(w) for w in ws), dtype=np.int64, count=nk)
+        wo = np.zeros(nk + 1, dtype=np.int64)
+        np.cumsum(V, out=wo[1:])
+        po = np.zeros(nk + 1, dtype=np.int64)
+        np.cumsum(V * V, out=po[1:])
+        words = np.concatenate([np.asarray(w, dtype=object) for w in ws]).astype("U")
+        n = np.concatenate([np.asarray(x) for x in ns]).astype(np.int64)
+        m = np.concatenate([np.asarray(x) for x in ms]).astype(np.float64)
+        ii = np.concatenate(
+            [wo[k] + np.repeat(np.arange(V[k]), V[k]) for k in range(nk)]
+        )
+        jj = np.concatenate(
+            [wo[k] + np.tile(np.arange(V[k]), V[k]) for k in range(nk)]
+        )
+        lens = np.char.str_len(words)
+        d = np.full(len(ii), np.nan)
+        # distances are defined within one word width; cross-width pairs
+        # stay NaN (incomparable → contribute 0 to the sums below)
+        same = lens[ii] == lens[jj]
+        for wlen in np.unique(lens):
+            sel = same & (lens[ii] == wlen)
+            if not sel.any():
+                continue
+            si, sj = ii[sel], jj[sel]
+            uniq, inv = np.unique(np.concatenate([si, sj]), return_inverse=True)
+            A = _symbols_from_strings(words[uniq], c)
+            ai = A[inv[: len(si)]]
+            bj = A[inv[len(si):]]
+            d[sel] = K.mindist_pairs(ai, bj, c, n[si], n[sj])
+        dz = np.where(np.isnan(d), 0.0, d)
+        contrib = dz * m[jj]
+        # row r of key k occupies pair slots [po[k]+r·V_k, po[k]+(r+1)·V_k)
+        row_local = np.concatenate([np.arange(V[k]) for k in range(nk)])
+        starts = np.repeat(po[:-1], V) + row_local * np.repeat(V, V)
+        sum_d = np.add.reduceat(contrib, starts) if len(starts) else np.array([])
+        d_self = d[starts + row_local]
+        out = []
+        for k in range(nk):
+            lo, hi = wo[k], wo[k + 1]
+            out.append(
+                [
+                    {
+                        "word": str(words[i]),
+                        "n": int(n[i]),
+                        "sum_d": float(sum_d[i]),
+                        "d_self": float(d_self[i]),
+                    }
+                    for i in range(lo, hi)
+                ]
+            )
+        return pd.Series(out)
+
+    # ONE collect_list of a struct — three parallel collect_lists carry no
+    # cross-column ordering guarantee
+    agg = hist.groupBy("key").agg(
+        F.collect_list(F.struct("word", "n", "m")).alias("h")
+    )
+    agg = agg.select(
+        "key", "h.word", "h.n", "h.m"  # struct-field pushdown: arrays stay aligned
+    ).toDF("key", "ws", "ns", "ms")
+    # AQE coalesces this shuffle by SIZE — a few thousand collect_list rows
+    # look like one partition's worth of bytes, but each row carries V_k²
+    # of UDF compute, so size-based coalescing serializes the whole pair
+    # pass onto one core (measured 3-4× on the full query). Pin an
+    # explicit key-hash repartition at the session's parallelism; at real
+    # corpus scale the row count dwarfs the core count and this is a no-op
+    # rebalance.
+    par = agg.sparkSession.sparkContext.defaultParallelism
+    agg = agg.repartition(par, "key")
+    return (
+        agg.select("key", F.explode(_sums("ws", "ns", "ms")).alias("s"))
+        .select("key", "s.word", "s.n", "s.sum_d", "s.d_self")
+    )
+
+
 def mindist_pair_udf(c: int):
     """pandas UDF: (word_a, word_b, n_a, n_b) → pairwise mindist.
 

