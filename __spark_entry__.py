@@ -1891,61 +1891,36 @@ def q_sax_discords_daily(spark, sf_dir):
     semantics) from the key's other daily words — the day that least
     resembles the series' own history.
 
-    Plan shape (round-5 in-group matrix formulation): the day×day pair
-    blow-up never materializes — not even as an intermediate DataFrame.
-    Per key, words collapse to a (word, multiplicity) HISTOGRAM; one
-    applyInPandas over the histogram computes each key's V×V reference
-    mindist matrix and its partner sums as a numpy broadcast
-    (`pair_sums_by_key` — Σ_k |vocab_k|² CELLS of numpy work, zero pair
-    ROWS shuffled; r4 materialized the pair join + a pandas UDF pass over
-    ~1 M rows at sf0.1); day a's partner average is then recovered
+    Plan shape (round-5 fused formulation, `daily_discords`): the day×day
+    pair blow-up never materializes — not even as an intermediate
+    DataFrame. ONE shuffle collects each key's retention-bounded day list
+    (days of daily words — small by construction at any corpus scale);
+    inside one vectorized UDF pass the words collapse to a (word,
+    multiplicity) histogram, the V×V reference mindist matrix computes as
+    a numpy broadcast, and day a's partner average is recovered
     algebraically:
 
         avg_dist(a) = (Σ_w' m(w')·d(w_a, w') − d(w_a, w_a)) / (D − 1)
 
     (the self-day is the one excluded partner; d(w,w) can be non-zero for
     '#'-bearing words under the reference's sentinel substitution, so it
-    is subtracted explicitly, not assumed 0). Shuffles carry histogram /
-    output cardinality only. FP note: the weighted sum equals the
-    pairwise mean exactly up to summation order; round(6) absorbs it
-    (hash-verified against the pairwise formulation at 3 SFs).
+    is subtracted explicitly, not assumed 0). FP note: the weighted sum
+    equals the pairwise mean exactly up to summation order; round(6)
+    absorbs it (hash-verified against the pairwise formulation at 3 SFs;
+    the unfused multi-shuffle algebra survives as `pair_sums_by_key`
+    with its own pair-join parity test).
 
     The daily-word derivation (1m→1h rollup + mapInArrow symbolization)
     WAS the dominant cost when run per call; round 5 moves it behind the
     stored word index (`_daily_words_stored`, verdict r4 #4): build once
-    per corpus snapshot, then this query is three scans of a small
-    day-partitioned parquet ((key, day, word) — retention-bounded) plus
-    the histogram algebra. Content is identical to the live derivation,
-    so the result still hash-matches the pairwise formulation."""
-    from symtseries_spark.operators.symbolize import pair_sums_by_key
-    from pyspark.sql import Window as Wn
+    per corpus snapshot, then this query is one scan of a small
+    day-partitioned parquet ((key, day, word) — retention-bounded), one
+    shuffle, one UDF pass."""
+    from symtseries_spark.operators.symbolize import daily_discords
 
     wrds = _daily_words_stored(spark, sf_dir)
-    hist = wrds.groupBy("key", "word", "n").agg(F.count(F.lit(1)).alias("m"))
-    # per (key, word): sum over n-variants' partner sums, self-distance
-    # from the (always-comparable) diagonal — identical values to the
-    # materialized pair-join algebra this replaces
-    tot = pair_sums_by_key(hist, 8).groupBy("key", "word").agg(
-        F.sum("sum_d").alias("sum_d"), F.max("d_self").alias("d_self")
-    )
-    dk = wrds.groupBy("key").agg(F.count(F.lit(1)).alias("D"))
-    res = (
-        wrds.join(tot, ["key", "word"])
-        .join(dk, "key")
-        .filter(F.col("D") > 1)  # single-day keys have no partners
-        .withColumn(
-            "avg_dist",
-            F.round((F.col("sum_d") - F.col("d_self")) / (F.col("D") - 1), 6),
-        )
-        .withColumn("n_partners", F.col("D") - 1)
-    )
-    rn = F.row_number().over(
-        Wn.partitionBy("key").orderBy(F.col("avg_dist").desc(), "window_ts")
-    )
-    return (
-        res.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("key", "window_ts", "word", "avg_dist", "n_partners")
+    return daily_discords(wrds, 8).select(
+        "key", "window_ts", "word", "avg_dist", "n_partners"
     )
 
 

@@ -370,6 +370,33 @@ def mindist_batch(
     return d, above, below
 
 
+_PAIR_CELLSQ: dict[int, np.ndarray] = {}
+
+
+def pair_cellsq_matrix(c: int) -> np.ndarray:
+    """(c+1)×(c+1) SQUARED per-position mindist cells indexed by symbol
+    VALUE (0..c-1 real, c = '#' sentinel), with the reference's pair
+    substitution semantics baked in (sts_mindist_ab,
+    /root/reference/src/symtseries.c:578-636): a sentinel position
+    substitutes the extreme farthest from the OTHER side's real symbol;
+    both-sentinel positions contribute 0. Folding the substitution into a
+    table turns the whole per-position pair distance into one gather —
+    the branch-free form every pair-batch caller wants."""
+    c = int(c)
+    t = _PAIR_CELLSQ.get(c)
+    if t is None:
+        dist = _DIST[c]
+        t = np.zeros((c + 1, c + 1), dtype=np.float64)
+        t[:c, :c] = dist * dist
+        for s in range(c):
+            sub = 0 if s > (c - 1 - s) else c - 1
+            t[c, s] = dist[sub, s] ** 2  # '#' on side a
+            t[s, c] = dist[s, sub] ** 2  # '#' on side b
+        # t[c, c] stays 0 (both-sentinel)
+        _PAIR_CELLSQ[c] = t
+    return t
+
+
 def mindist_pairs(
     A: np.ndarray,
     B: np.ndarray,
@@ -384,29 +411,16 @@ def mindist_pairs(
     /root/reference/src/symtseries.c:578-636). The pairwise twin of
     :func:`mindist_batch` (which broadcasts one query) -- used by discord
     discovery, where both sides of every pair vary.
-    """
+
+    The substitution ladder lives in :func:`pair_cellsq_matrix`, so the
+    hot path is a single (P, w) table gather + row sum — no per-pair
+    branch temporaries (the previous np.where ladder allocated ~15
+    pair-block-sized intermediates and dominated discord discovery's
+    pair pass)."""
     A = np.asarray(A, dtype=np.int64)
     B = np.asarray(B, dtype=np.int64)
     w = A.shape[1]
-    dist = _DIST[int(c)]
-
-    a = A.copy()
-    b = B.copy()
-    a_nan = a == c
-    b_nan = b == c
-    b_real = np.where(b_nan, 0, b)
-    a_sub = np.where(b_real > (c - 1 - b_real), 0, c - 1)
-    a = np.where(a_nan & ~b_nan, a_sub, a)
-    a_real = np.where(a_nan, 0, A)
-    b_sub = np.where(a_real > (c - 1 - a_real), 0, c - 1)
-    b = np.where(b_nan & ~a_nan, b_sub, b)
-    both = a_nan & b_nan
-    a = np.where(both, 0, a)
-    b = np.where(both, 0, b)
-
-    neq = a != b
-    cells = dist[a, b]
-    sq = np.where(neq, cells * cells, 0.0).sum(axis=1)
+    sq = pair_cellsq_matrix(c)[A, B].sum(axis=1)
 
     n_a = np.asarray(n_a, dtype=np.int64)
     n_b = np.asarray(n_b, dtype=np.int64)

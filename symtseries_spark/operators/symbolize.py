@@ -317,29 +317,19 @@ def pair_cellsq_table(c: int) -> list:
     symbol; both-'#' positions contribute 0. Indexed by
     ``(ia-1)*(c+1) + ib`` where ia/ib are the 1-based positions of the
     letters in ``'ABCDEFGH…#'`` — the layout :func:`mindist_pair_expr`
-    and the DuckDB oracle CASE both consume."""
-    dist = K.dist_matrix(c)
+    and the DuckDB oracle CASE both consume. Letter→value remap of the
+    value-indexed :func:`kernel.pair_cellsq_matrix` (single source of
+    truth for the substitution semantics)."""
+    m = K.pair_cellsq_matrix(c)
 
-    def sym(i):  # letter index 0..c-1 → symbol (A = c-1, descending)
-        return c - 1 - i
+    def val(i):  # letter index 0..c → symbol value (A = c-1, '#' = c)
+        return c if i == c else c - 1 - i
 
-    flat = []
-    for ia in range(c + 1):
-        for ib in range(c + 1):
-            if ia == c and ib == c:
-                cell2 = 0.0
-            elif ia == c:
-                sb = sym(ib)
-                sa = 0 if sb > (c - 1 - sb) else c - 1
-                cell2 = float(dist[sa, sb]) ** 2
-            elif ib == c:
-                sa = sym(ia)
-                sb = 0 if sa > (c - 1 - sa) else c - 1
-                cell2 = float(dist[sa, sb]) ** 2
-            else:
-                cell2 = float(dist[sym(ia), sym(ib)]) ** 2
-            flat.append(cell2)
-    return flat
+    return [
+        float(m[val(ia), val(ib)])
+        for ia in range(c + 1)
+        for ib in range(c + 1)
+    ]
 
 
 def mindist_pair_expr(wa, wb, na, nb, c: int = 8, w: int | None = None):
@@ -501,6 +491,119 @@ def pair_sums_by_key(hist: DataFrame, c: int) -> DataFrame:
     return (
         agg.select("key", F.explode(_sums("ws", "ns", "ms")).alias("s"))
         .select("key", "s.word", "s.n", "s.sum_d", "s.d_self")
+    )
+
+
+def daily_discords(words: DataFrame, c: int) -> DataFrame:
+    """Per-key daily discord in ONE shuffle: for each key, the day whose
+    word is on average farthest (pairwise reference mindist) from the
+    key's other daily words.
+
+    Input: ``(key, window_ts, word, n)`` — one word per (key, day).
+    Output: ``(key, window_ts, word, avg_dist, n_partners)``, one row per
+    key with ≥ 2 days (single-day keys have no partners).
+
+    Same algebra as :func:`pair_sums_by_key` + the join-back/rank plan
+    (hash-verified parity), but FUSED: the per-key day list is
+    retention-bounded by construction (days of daily words), so one
+    collect_list per key is safe at any corpus scale, and the histogram,
+    the V×V distance matrix, the partner-average recovery
+
+        avg_dist(a) = (Σ_w' m(w')·d(w_a, w') − d(w_a, w_a)) / (D − 1)
+
+    and the discord pick (max avg, earliest-day tiebreak) all happen in
+    one vectorized pass per key. The unfused plan paid 5-6 shuffle
+    stages (histogram → collect → pair sums → re-agg → day-count join →
+    rank window) each carrying tiny histogram-cardinality data — pure
+    fixed overhead locally, and 5× the shuffle COUNT at cluster scale."""
+    from pyspark.sql.types import DoubleType as _D
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    out_t = _ST(
+        [
+            _SF("window_ts", words.schema["window_ts"].dataType),
+            _SF("word", words.schema["word"].dataType),
+            _SF("avg_dist", _D()),
+            _SF("n_partners", _L()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _discord(tss: pd.Series, ws: pd.Series, ns: pd.Series) -> pd.DataFrame:
+        out = []
+        for tsl, wl, nl in zip(tss, ws, ns):
+            D = len(wl)
+            ts = pd.to_datetime(pd.Series(list(tsl))).values
+            wk = np.asarray(wl, dtype=object).astype("U")
+            nk = np.asarray(nl, dtype=np.int64)
+            comp = np.array(
+                [f"{w}\x00{n}" for w, n in zip(wk, nk)], dtype="U"
+            )
+            uv, first, inv, m = np.unique(
+                comp, return_index=True, return_inverse=True, return_counts=True
+            )
+            vw, vn, V = wk[first], nk[first], len(uv)
+            lens = np.char.str_len(vw)
+            ii = np.repeat(np.arange(V), V)
+            jj = np.tile(np.arange(V), V)
+            d = np.full(V * V, np.nan)
+            same = lens[ii] == lens[jj]
+            for wlen in np.unique(lens):
+                sel = same & (lens[ii] == wlen)
+                if not sel.any():
+                    continue
+                grp = np.where(lens == wlen)[0]
+                A = _symbols_from_strings(vw[grp], c)
+                pos = np.full(V, -1, dtype=np.int64)
+                pos[grp] = np.arange(len(grp))
+                si, sj = ii[sel], jj[sel]
+                d[sel] = K.mindist_pairs(
+                    A[pos[si]], A[pos[sj]], c, vn[si], vn[sj]
+                )
+            dz = np.where(np.isnan(d), 0.0, d).reshape(V, V)
+            sum_d = dz @ m.astype(np.float64)
+            # diagonal pairs share width and n → always defined; non-zero
+            # for '#'-bearing words under the sentinel substitution
+            d_self = np.diag(d.reshape(V, V))
+            # aggregate across n-variants of one word (the unfused plan
+            # groups the partner sums by (key, word) only)
+            uw, winv = np.unique(vw, return_inverse=True)
+            sdw = np.zeros(len(uw))
+            np.add.at(sdw, winv, sum_d)
+            dsw = np.full(len(uw), -np.inf)
+            np.maximum.at(dsw, winv, d_self)
+            avg_w = np.round((sdw - dsw) / (D - 1), 6)
+            day_avg = avg_w[winv[inv]]
+            best = int(np.lexsort((ts, -day_avg))[0])
+            out.append(
+                {
+                    "window_ts": pd.Timestamp(ts[best]),
+                    "word": str(wk[best]),
+                    "avg_dist": float(day_avg[best]),
+                    "n_partners": int(D - 1),
+                }
+            )
+        return pd.DataFrame(
+            out, columns=["window_ts", "word", "avg_dist", "n_partners"]
+        )
+
+    agg = (
+        words.groupBy("key")
+        .agg(F.collect_list(F.struct("window_ts", "word", "n")).alias("h"))
+        .filter(F.size("h") > 1)  # single-day keys have no partners
+    )
+    agg = agg.select("key", "h.window_ts", "h.word", "h.n").toDF(
+        "key", "ts", "ws", "ns"
+    )
+    # pin parallelism: AQE would size-coalesce the tiny collect_list rows
+    # onto one core and serialize the whole pair pass (see pair_sums_by_key)
+    par = agg.sparkSession.sparkContext.defaultParallelism
+    agg = agg.repartition(par, "key")
+    return (
+        agg.select("key", _discord("ts", "ws", "ns").alias("s"))
+        .select("key", "s.window_ts", "s.word", "s.avg_dist", "s.n_partners")
     )
 
 

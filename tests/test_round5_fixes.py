@@ -229,3 +229,77 @@ def test_upsert_tiers_increment_timings_and_merge(spark, tmp_path):
     t1h = spark.read.parquet(path).filter(F.col("tier") == "1h").collect()
     assert len(t1h) == 1
     assert (t1h[0]["cnt"], t1h[0]["sum"]) == (6, 17.0)
+
+
+# ---------------------------------------------------------------------------
+# daily_discords (fused single-shuffle) == unfused pair_sums formulation
+# ---------------------------------------------------------------------------
+
+
+def _unfused_discords(wrds, c):
+    """The multi-shuffle plan daily_discords fuses: histogram →
+    pair_sums_by_key → re-agg by word → day-count join → rank window."""
+    from pyspark.sql import Window as Wn
+
+    from symtseries_spark.operators.symbolize import pair_sums_by_key
+
+    hist = wrds.groupBy("key", "word", "n").agg(F.count(F.lit(1)).alias("m"))
+    tot = pair_sums_by_key(hist, c).groupBy("key", "word").agg(
+        F.sum("sum_d").alias("sum_d"), F.max("d_self").alias("d_self")
+    )
+    dk = wrds.groupBy("key").agg(F.count(F.lit(1)).alias("D"))
+    res = (
+        wrds.join(tot, ["key", "word"])
+        .join(dk, "key")
+        .filter(F.col("D") > 1)
+        .withColumn(
+            "avg_dist",
+            F.round((F.col("sum_d") - F.col("d_self")) / (F.col("D") - 1), 6),
+        )
+        .withColumn("n_partners", F.col("D") - 1)
+    )
+    rn = F.row_number().over(
+        Wn.partitionBy("key").orderBy(F.col("avg_dist").desc(), "window_ts")
+    )
+    return (
+        res.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("key", "window_ts", "word", "avg_dist", "n_partners")
+    )
+
+
+def test_daily_discords_matches_unfused(spark):
+    from symtseries_spark.operators.symbolize import daily_discords
+
+    t = dt.datetime(2024, 3, 1)
+
+    def day(i):
+        return t + dt.timedelta(days=i)
+
+    rows = []
+    # key 1: plain words with a repeated (histogram multiplicity) word
+    for i, w in enumerate(["ABCDABCD", "ABCDABCD", "HGFEHGFE", "AAAAHHHH"]):
+        rows.append(Row(key=1, window_ts=day(i), word=w, n=24))
+    # key 2: '#'-bearing words (non-zero self distance) + n=0 wildcard day
+    rows += [
+        Row(key=2, window_ts=day(0), word="A#CD##GH", n=24),
+        Row(key=2, window_ts=day(1), word="####ABCD", n=0),
+        Row(key=2, window_ts=day(2), word="HH##AA##", n=24),
+        Row(key=2, window_ts=day(3), word="A#CD##GH", n=24),
+    ]
+    # key 3: single day → excluded from output
+    rows += [Row(key=3, window_ts=day(0), word="ABCDEFGH", n=24)]
+    # key 4: two identical days → avg tie, earliest window_ts wins
+    rows += [
+        Row(key=4, window_ts=day(5), word="DDEEFFGG", n=24),
+        Row(key=4, window_ts=day(2), word="DDEEFFGG", n=24),
+    ]
+    wrds = spark.createDataFrame(rows)
+
+    got = sorted(map(tuple, daily_discords(wrds, 8).collect()))
+    want = sorted(map(tuple, _unfused_discords(wrds, 8).collect()))
+    assert got == want
+    keys = [r[0] for r in got]
+    assert keys == [1, 2, 4]  # key 3 has no partners
+    k4 = [r for r in got if r[0] == 4][0]
+    assert k4[1] == day(2)  # tie → earliest day
