@@ -146,36 +146,48 @@ def bench_streaming_tiers(spark, sf: str) -> dict:
     """One availableNow epoch of the TRUE streaming continuous-aggregate
     path over the crawl table (VERDICT r3 #8): watermarked update-mode 1m
     rollup → foreachBatch upsert into the partitioned tier store with
-    partial 1h/1d re-cascade. Records epoch wall + partitions rewritten
-    (∝ dates the epoch touched)."""
+    partial 1h/1d re-cascade. Min-of-3 full epochs, each against a FRESH
+    store + checkpoint (the same host-noise policy as every other entry —
+    nothing is amortized across runs); per-phase upsert timings of the
+    min run are disclosed so the epoch cost stays decomposable
+    (merge / cascade / write vs streaming-agg + microbatch framework)."""
     import glob
 
     from symtseries_spark.pipeline import _footer_rows
     from symtseries_spark.streaming.ingest import streaming_tiers
 
     path = ensure_crawl(spark, sf)
-    store = os.path.join(BENCH_DATA, f"stream_store_sf{sf}")
-    cp = os.path.join(BENCH_DATA, f"stream_cp_sf{sf}")
-    shutil.rmtree(store, ignore_errors=True)
-    shutil.rmtree(cp, ignore_errors=True)
+    runs = []
+    for _ in range(3):
+        store = os.path.join(BENCH_DATA, f"stream_store_sf{sf}")
+        cp = os.path.join(BENCH_DATA, f"stream_cp_sf{sf}")
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
 
-    stream = spark.readStream.schema(
-        "url string, warc_ts timestamp, html binary, text string, lang string"
-    ).parquet(path)
-    writer = streaming_tiers(
-        stream, store, "url", "warc_ts", F.length("text"), cp
-    )
-    t0 = time.time()
-    q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
-    sec = time.time() - t0
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).parquet(path)
+        phases: dict = {}
+        writer = streaming_tiers(
+            stream, store, "url", "warc_ts", F.length("text"), cp,
+            timings_out=phases,
+        )
+        t0 = time.time()
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        runs.append((time.time() - t0, phases))
+    sec, phases = min(runs, key=lambda x: x[0])
     dates = len(glob.glob(os.path.join(store, "tier=1m", "bucket_date=*")))
     points = _footer_rows(store)
+    upsert_total = sum(p.get("total", 0.0) for p in phases.values())
     return {
         "sec": round(sec, 3),
+        "runs": [round(r, 3) for r, _ in runs],
         "points": points,
         "points_per_sec": round(points / sec, 1) if sec else 0.0,
         "partitions_rewritten_dates": dates,
+        "upsert_phases": phases,
+        "agg_framework_sec": round(sec - upsert_total, 3),
     }
 
 

@@ -236,6 +236,11 @@ def run_pipeline(
     # interleaves their stages). This overlaps each job's serial phases
     # (planning, commit) with the others' compute, exactly like a
     # multi-tenant cluster keeps executors busy across jobs.
+    # each consumer thread also runs its own store's metrics count right
+    # after its write — a metadata-only Spark job (see _store_counts) that
+    # overlaps the other consumers instead of forming a serial tail phase
+    counts: dict[str, int] = {}
+
     def _cascades():
         # the 1h tier is ~1/60 of 1m — materialize it ONCE (localCheckpoint
         # pins the rows; concurrent consumers of a merely-persisted RDD
@@ -259,6 +264,10 @@ def run_pipeline(
             t1d = rollup_cascade(t1h, "1d")
             CP.write_partitioned(t1d, rollup_path, "1d")
             fut.result()
+        # the 1m tier was written before the consumers started, so the
+        # store holds all three tiers by the time this thread counts
+        for tier, n in _store_counts(spark, rollup_path, by="tier").items():
+            counts[tier] = n
 
     def _index():
         sym = symbolize_windows(
@@ -267,11 +276,13 @@ def run_pipeline(
         build_index(sym, tier="1h").write.mode("overwrite").parquet(
             f"{out_dir}/index"
         )
+        counts["words"] = _store_counts(spark, f"{out_dir}/index")[""]
 
     def _chunks():
         encode_chunks(
             t1m_r, "1m", "text_len_avg", cfg.chunk_points, clustered=True
         ).write.mode("overwrite").parquet(f"{out_dir}/chunks")
+        counts["chunks"] = _store_counts(spark, f"{out_dir}/chunks")[""]
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -314,15 +325,16 @@ def run_pipeline(
                 spark.conf.set("spark.sql.files.openCostInBytes", _old_oc)
     _t = _mark("consumers_concurrent", _t)
 
-    # counts are metadata-only Spark jobs (zero-column parquet scans answer
-    # count(*) from row-group metadata inside tasks) — O(1) driver work no
-    # matter how many files the stores grow to, unlike a driver glob
-    tier_counts = _store_counts(spark, rollup_path, by="tier")
-    n1m = tier_counts.get("1m", 0)
-    n1h = tier_counts.get("1h", 0)
-    n1d = tier_counts.get("1d", 0)
-    nwords = _store_counts(spark, f"{out_dir}/index")[""]
-    nchunks = _store_counts(spark, f"{out_dir}/chunks")[""]
+    # counts already ran inside the consumer threads (metadata-only Spark
+    # jobs — zero-column parquet scans answer count(*) from row-group
+    # metadata inside tasks: O(1) driver work no matter how many files
+    # the stores grow to, unlike a driver glob — overlapped with the
+    # other consumers' compute instead of forming a serial tail phase)
+    n1m = counts.get("1m", 0)
+    n1h = counts.get("1h", 0)
+    n1d = counts.get("1d", 0)
+    nwords = counts.get("words", 0)
+    nchunks = counts.get("chunks", 0)
     _t = _mark("counts", _t)
 
     if checkpoint_path:

@@ -313,6 +313,7 @@ def streaming_tiers(
     value_expr,
     checkpoint_dir: str,
     watermark: str = "10 minutes",
+    timings_out: dict | None = None,
 ):
     """TRUE streaming continuous aggregates: maintain the partitioned
     1m/1h/1d tier store incrementally from a stream.
@@ -328,6 +329,10 @@ def streaming_tiers(
     Scale: per epoch, work ∝ changed buckets + affected-date partials,
     never the store size; the merge rewrites only affected
     (tier, bucket_date) partitions.
+
+    ``timings_out``: optional dict; per data batch a ``batch_<id>`` entry
+    is filled with the upsert's per-phase wall seconds (merge, cascades,
+    writes — see checkpoint.upsert_tiers_increment).
 
     Returns the DataStreamWriter — caller picks the trigger and starts it.
     """
@@ -349,7 +354,12 @@ def streaming_tiers(
     def _epoch(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        CP.upsert_tiers_increment(batch_df.sparkSession, batch_df, store_path)
+        t = None
+        if timings_out is not None:
+            t = timings_out.setdefault(f"batch_{batch_id}", {})
+        CP.upsert_tiers_increment(
+            batch_df.sparkSession, batch_df, store_path, timings=t
+        )
 
     return (
         canonical.writeStream.foreachBatch(_epoch)
