@@ -151,14 +151,26 @@ def _merge_tier(spark, updates: DataFrame, path: str, tier: str):
     ``merged`` is the FULL post-merge content of the touched partitions,
     localCheckpoint-ed (eager) so it can be written AND re-consumed (the
     1h/1d re-cascade) without re-reading the store or replaying the
-    epoch's aggregation."""
-    up = updates.withColumn("bucket_date", F.to_date("bucket_ts"))
+    epoch's aggregation.
+
+    ``updates`` is checkpointed FIRST, before anything else touches it:
+    the updates plan is the expensive side (in a streaming epoch it is
+    the stateful aggregation itself), and the naive layout evaluated it
+    three times per epoch — an emptiness probe, the touched-dates
+    distinct, and the merged-rows checkpoint. One eager checkpoint up
+    front means the dates scan, the anti-join and the merged checkpoint
+    all read pinned rows, so the agg runs exactly once; the empty-epoch
+    case falls out of the (now-cheap) dates collect, no separate
+    isEmpty job needed."""
+    up = updates.localCheckpoint(eager=True)
     dates = [
-        r["bucket_date"] for r in up.select("bucket_date").distinct().collect()
+        r["bucket_date"]
+        for r in up.select(F.to_date("bucket_ts").alias("bucket_date"))
+        .distinct()
+        .collect()
     ]
     if not dates:
         return dates, None
-    up = up.drop("bucket_date")
     from pyspark.errors import AnalysisException
 
     try:
@@ -171,7 +183,10 @@ def _merge_tier(spark, updates: DataFrame, path: str, tier: str):
         survivors = existing.join(
             up.select("key", "bucket_ts"), ["key", "bucket_ts"], "left_anti"
         )
-        merged = survivors.unionByName(up)
+        # checkpoint the merged rows too: the dynamic overwrite below must
+        # never read from the store path it is rewriting (the survivors
+        # side), and the re-cascade re-consumes them
+        merged = survivors.unionByName(up).localCheckpoint(eager=True)
     except AnalysisException as e:
         # ONLY a missing store means "first write". Any other analysis
         # error (schema drift, corrupt footer, ...) must surface — merging
@@ -188,8 +203,8 @@ def _merge_tier(spark, updates: DataFrame, path: str, tier: str):
             missing = not _path_exists(spark, path)
         if not missing:
             raise
-        merged = up
-    return dates, merged.localCheckpoint(eager=True)
+        merged = up  # already checkpointed — first write is updates-only
+    return dates, merged
 
 
 def upsert_tier(spark, updates: DataFrame, path: str, tier: str) -> list:

@@ -352,8 +352,9 @@ def streaming_tiers(
     )
 
     def _epoch(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() probe: that is an extra (partial) evaluation of the
+        # stateful agg per batch — upsert_tiers_increment checkpoints the
+        # batch once and no-ops when the touched-dates set is empty
         t = None
         if timings_out is not None:
             t = timings_out.setdefault(f"batch_{batch_id}", {})

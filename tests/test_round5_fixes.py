@@ -303,3 +303,23 @@ def test_daily_discords_matches_unfused(spark):
     assert keys == [1, 2, 4]  # key 3 has no partners
     k4 = [r for r in got if r[0] == 4][0]
     assert k4[1] == day(2)  # tie → earliest day
+
+
+def test_upsert_empty_updates_is_noop(spark, tmp_path):
+    """The isEmpty() probe is gone from the streaming epoch — an empty
+    updates batch must no-op through upsert_tiers_increment itself
+    (touched-dates set empty → no store writes, no error on a missing
+    store path)."""
+    from symtseries_spark import checkpoint as CP
+
+    empty = spark.createDataFrame(
+        [],
+        "key string, tier string, bucket_ts timestamp, crawl_cnt long,"
+        " text_len_sum long, text_len_avg double, cnt long, sum double,"
+        " sumsq double",
+    )
+    store = str(tmp_path / "tiers")
+    CP.upsert_tiers_increment(spark, empty, store)
+    import os
+
+    assert not os.path.exists(store)
