@@ -93,23 +93,51 @@ def _warn_if_partial_cache(spark: SparkSession, df) -> None:
     first-touches an evicted partition — the exact duplicate-work failure
     the materializing write exists to prevent — so make it loud."""
     try:
-        rdd_id = df.rdd.id()
+        # `df.rdd.id()` can NOT identify the cache entry: it builds a fresh
+        # row-conversion RDD whose id never matches the InMemoryRelation's
+        # internal cached RDD. Best-effort instead: at this point in the
+        # pipeline the handoff is the only persist in flight, so warn about
+        # ANY incompletely-cached RDD the session reports.
         sc = spark.sparkContext
         info = sc._jsc.sc().getRDDStorageInfo()
         for r in info:
-            if r.id() == rdd_id and r.numCachedPartitions() < r.numPartitions():
+            if r.numCachedPartitions() < r.numPartitions():
                 import warnings
 
                 warnings.warn(
-                    f"pipeline memory handoff only cached "
-                    f"{r.numCachedPartitions()}/{r.numPartitions()} partitions"
-                    " — consumers may recompute the rollup; consider"
-                    " handoff='table'",
+                    f"pipeline memory handoff cache incomplete "
+                    f"({r.numCachedPartitions()}/{r.numPartitions()} "
+                    "partitions resident) — consumers may recompute the "
+                    "rollup; consider handoff='table'",
                     RuntimeWarning,
                     stacklevel=2,
                 )
     except Exception:
         pass  # diagnostics only — never fail the pipeline for it
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Spawn + warm the per-core Python UDF workers (fork, numpy/pandas
+    import, Arrow serializer init) with one trivial task per core. A
+    long-running cluster amortizes this to zero, but a one-shot job pays
+    it inside its FIRST Arrow stage — which in this pipeline sits in the
+    consumer phase, after two serial JVM-only phases (hot-key detection,
+    rollup write). Kicked off concurrently at pipeline start in its own
+    FAIR pool, the spawn cost rides under those phases instead."""
+
+    def _w(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", "prewarm")
+    try:
+        n = sc.defaultParallelism
+        spark.range(n).repartition(n).mapInArrow(_w, "id long").count()
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
 
 
 def run_pipeline(
@@ -147,6 +175,14 @@ def run_pipeline(
         now = time.time()
         timings[label] = round(now - since, 2)
         return now
+
+    # Python-worker prewarm rides under the JVM-only phases below (hot-key
+    # detection job, rollup write) in its own FAIR pool — by the time the
+    # consumer phase reaches its first Arrow stage, the workers exist
+    from concurrent.futures import ThreadPoolExecutor as _TPE0
+
+    _prewarm_pool = _TPE0(1)
+    _prewarm_fut = _prewarm_pool.submit(_prewarm_python_workers, spark)
 
     # column pruning happens here: only url, warc_ts, length(text) survive
     # into the shuffle; html bytes never leave the scan.
@@ -323,6 +359,15 @@ def run_pipeline(
                 spark.conf.unset("spark.sql.files.openCostInBytes")
             else:
                 spark.conf.set("spark.sql.files.openCostInBytes", _old_oc)
+    try:
+        # join AFTER the consumers: the prewarm job is tiny and had the
+        # whole pipeline to finish, so this never gates; joining earlier
+        # could stall small inputs behind the worker spawn itself
+        _prewarm_fut.result(timeout=60)
+    except Exception:
+        pass  # prewarm is an optimization only
+    finally:
+        _prewarm_pool.shutdown(wait=False)
     _t = _mark("consumers_concurrent", _t)
 
     # counts already ran inside the consumer threads (metadata-only Spark
