@@ -312,7 +312,13 @@ def _daily_words_stored(spark, sf_dir):
             _daily_words(spark, sf_dir)
             .select("key", "window_ts", "word", "n")
             .withColumn("day", F.to_date("window_ts"))
-            .repartition("day")
+            # repartition on (day, key), NOT day alone: hashing only the
+            # partition column funnels every key of a day into ONE task —
+            # a reducer-skew bottleneck at corpus scale (keys ~ urls).
+            # (day, key) spreads each day across tasks; the partitionBy
+            # writer still lays out one directory per day (several files),
+            # so day-bounded scans prune identically.
+            .repartition("day", "key")
             .write.mode("overwrite")
             .partitionBy("day")
             .parquet(path)
