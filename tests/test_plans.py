@@ -113,3 +113,20 @@ def test_histogram_shuffles_output_cardinality(spark, sf_dir):
         contains=("HashAggregate", "partial_"),
         absent=("Window",),
     )
+
+
+def test_daily_discords_fused_plan(spark, sf_dir):
+    """The fused discord plan must stay join-free: one collect_list agg
+    exchange + one pinned repartition feed a single Arrow UDF — no pair
+    join, no day-count join, no rank window (all fused into the UDF)."""
+    plan = assert_plan(
+        E.q_sax_discords_daily(spark, sf_dir),
+        contains=("ArrowEvalPython",),
+        absent=("SortMergeJoin", "BroadcastHashJoin", "Window"),
+    )
+    # exchanges: collect_list shuffle + explicit key repartition, nothing
+    # else (formatted explain mentions each node twice — tree line +
+    # detail header — so count the numbered detail headers only)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
