@@ -37,6 +37,37 @@ BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_da
 CRAWL_URLS = {"0.001": 60, "0.01": 400, "0.1": 2500}
 
 
+def _host_snapshot() -> dict:
+    """CPU-time counters + 1-min load, for disclosing how contended the
+    shared-VM host was DURING the bench (hypervisor steal shows up as the
+    `steal` field of /proc/stat; it is CPU time taken from this VM by
+    co-tenants and is invisible to per-process accounting)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # user nice system idle iowait irq softirq steal
+        vals = [int(x) for x in parts[1:9]]
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        return {"total": sum(vals), "steal": vals[7], "iowait": vals[4],
+                "load1": load1}
+    except Exception:
+        return {}
+
+
+def _host_report(a: dict, b: dict) -> dict:
+    """Steal/iowait as % of all CPU time elapsed between two snapshots."""
+    if not a or not b or b.get("total", 0) <= a.get("total", 0):
+        return {}
+    dt = b["total"] - a["total"]
+    return {
+        "steal_pct": round(100.0 * (b["steal"] - a["steal"]) / dt, 2),
+        "iowait_pct": round(100.0 * (b["iowait"] - a["iowait"]) / dt, 2),
+        "load1_start": a["load1"],
+        "load1_end": b["load1"],
+    }
+
+
 def _sf_of(path: str) -> str:
     base = os.path.basename(path.rstrip("/"))
     return base.replace("sf", "") if base.startswith("sf") else "0.1"
@@ -73,19 +104,23 @@ def bench_pipeline(spark, sf: str) -> tuple[float, float, dict]:
     t0 = time.time()
     run_pipeline(spark, crawl, out_dir=out)
     cold = time.time() - t0
-    # warm = min of three post-JIT runs (the host shows sporadic multi-
-    # second contention spikes — observed 3x swings on identical
-    # back-to-back runs; best-of-N recovers the machine-limited number —
-    # same rationale as the per-query min-of-3 below). The returned
-    # metrics dict is the one from the SAME run as the min wall, so the
-    # per-consumer breakdown matches the reported warm total.
+    # warm = min of five post-JIT runs (the shared-VM host shows sporadic
+    # contention spikes — hypervisor CPU steal measured at 4-6% even at
+    # idle, and identical back-to-back runs observed swinging 8-31 s on
+    # the r4 code; best-of-N recovers the machine-limited number — same
+    # rationale as the per-query min-of-3 below, with two extra samples
+    # because this entry is the noisiest: it is the only write-heavy
+    # multi-job one). The returned metrics dict is the one from the SAME
+    # run as the min wall, so the per-consumer breakdown matches the
+    # reported warm total. All raw samples go into the JSON.
     warms = []
-    for _ in range(3):
+    for _ in range(5):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         m = run_pipeline(spark, crawl, out_dir=out)
         warms.append((time.time() - t0, m))
     wall, m = min(warms, key=lambda x: x[0])
+    m["warm_runs"] = [round(w, 3) for w, _ in warms]
     return cold, wall, m
 
 
@@ -276,6 +311,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    host0 = _host_snapshot()
 
     cold, warm, pm = bench_pipeline(spark, sf)
     timings["rollup_pipeline"] = round(warm, 3)
@@ -339,6 +375,11 @@ def main() -> None:
         # (raw per-query samples in queries_runs)
         "timing_method": "min_of_3",
         "rollup_pipeline_cold": round(cold, 3),
+        "rollup_pipeline_warm_runs": pm.get("warm_runs", []),
+        # shared-VM contention DURING this bench run (see _host_snapshot):
+        # steal_pct is hypervisor CPU theft by co-tenant VMs — the noise
+        # floor every wall-clock above sits on
+        "host": _host_report(host0, _host_snapshot()),
         "incremental": inc,
         "streaming_tiers": st,
         "words_index": widx,
