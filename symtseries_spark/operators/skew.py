@@ -26,13 +26,28 @@ from symtseries_spark.operators.rollup import bucket_epoch
 def detect_hot_keys(
     df: DataFrame, key_col: str, threshold: float = 0.02, sample: float = 0.01
 ) -> list:
-    """Keys holding more than ``threshold`` share of rows (sampled estimate)."""
-    s = df.sample(fraction=min(1.0, sample), seed=42).groupBy(key_col).count()
-    total = s.agg(F.sum("count")).first()[0] or 0
-    if not total:
-        return []
-    hot = s.filter(F.col("count") > threshold * total).select(key_col).collect()
-    return [r[0] for r in hot]
+    """Keys holding more than ``threshold`` share of rows (sampled estimate).
+
+    Needs two aggregates over the sampled counts (the hot filter depends on
+    the total, and a global window would funnel every distinct sampled key
+    through one task), so the per-key counts are persisted: the underlying
+    table — the full input at production scale — is scanned ONCE, and the
+    second job reads the tiny cached (key, count) partials instead of
+    rescanning it."""
+    s = (
+        df.sample(fraction=min(1.0, sample), seed=42)
+        .groupBy(key_col)
+        .count()
+        .persist()
+    )
+    try:
+        total = s.agg(F.sum("count")).first()[0] or 0
+        if not total:
+            return []
+        hot = s.filter(F.col("count") > threshold * total).select(key_col).collect()
+        return [r[0] for r in hot]
+    finally:
+        s.unpersist()
 
 
 def salted_rollup(
