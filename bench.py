@@ -104,21 +104,25 @@ def bench_pipeline(spark, sf: str) -> tuple[float, float, dict]:
     t0 = time.time()
     run_pipeline(spark, crawl, out_dir=out)
     cold = time.time() - t0
-    # warm = min of five post-JIT runs (the shared-VM host shows sporadic
-    # contention spikes — hypervisor CPU steal measured at 4-6% even at
-    # idle, and identical back-to-back runs observed swinging 8-31 s on
-    # the r4 code; best-of-N recovers the machine-limited number — same
-    # rationale as the per-query min-of-3 below, with two extra samples
-    # because this entry is the noisiest: it is the only write-heavy
+    # warm = min of post-JIT runs (the shared-VM host shows bursty
+    # co-tenant contention — hypervisor CPU steal up to ~7% of a bench
+    # run's CPU time, and identical back-to-back runs observed swinging
+    # 8-31 s on the r4 code; best-of-N recovers the machine-limited
+    # number — same rationale as the adaptive per-query repeats below).
+    # ADAPTIVE: 3 runs when the two best agree within 15%, up to 5 when
+    # they don't — this entry is the noisiest (the only write-heavy
     # multi-job one). The returned metrics dict is the one from the SAME
     # run as the min wall, so the per-consumer breakdown matches the
     # reported warm total. All raw samples go into the JSON.
     warms = []
-    for _ in range(5):
+    while len(warms) < 5:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         m = run_pipeline(spark, crawl, out_dir=out)
         warms.append((time.time() - t0, m))
+        walls = sorted(w for w, _ in warms)
+        if len(warms) >= 3 and walls[1] <= 1.15 * walls[0]:
+            break
     wall, m = min(warms, key=lambda x: x[0])
     m["warm_runs"] = [round(w, 3) for w, _ in warms]
     return cold, wall, m
@@ -193,7 +197,10 @@ def bench_streaming_tiers(spark, sf: str) -> dict:
 
     path = ensure_crawl(spark, sf)
     runs = []
-    for _ in range(3):
+    # adaptive like the other entries: 3 full epochs, a 4th only when the
+    # two best disagree by >20% (each epoch is expensive — fresh store +
+    # checkpoint — so the noisy-window budget is one extra sample)
+    while len(runs) < 4:
         store = os.path.join(BENCH_DATA, f"stream_store_sf{sf}")
         cp = os.path.join(BENCH_DATA, f"stream_cp_sf{sf}")
         shutil.rmtree(store, ignore_errors=True)
@@ -211,6 +218,9 @@ def bench_streaming_tiers(spark, sf: str) -> dict:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         runs.append((time.time() - t0, phases))
+        walls = sorted(r for r, _ in runs)
+        if len(runs) >= 3 and walls[1] <= 1.20 * walls[0]:
+            break
     sec, phases = min(runs, key=lambda x: x[0])
     dates = len(glob.glob(os.path.join(store, "tier=1m", "bucket_date=*")))
     points = _footer_rows(store)
@@ -336,17 +346,22 @@ def main() -> None:
     qs = E.queries()
     all_runs: dict[str, list] = {}
     for name in headline:
-        # three timed runs per query, report the MIN (noise-robust: this
-        # sandbox host shows sporadic multi-second contention spikes —
-        # observed 3x swings on identical back-to-back runs — and best-of-N
-        # is the standard way to recover the machine-limited number).
+        # timed runs per query, report the MIN (noise-robust: the shared-VM
+        # host shows bursty co-tenant contention — hypervisor steal up to
+        # ~7% of CPU time measured across a single bench run — and
+        # best-of-N is the standard way to recover the machine-limited
+        # number). ADAPTIVE repeats: 3 runs when the two best samples
+        # agree within 15% (quiet window), up to 5 when they don't (i.e.
+        # extra samples are spent exactly when a contention burst hit).
         # All raw samples are recorded in queries_runs for honesty.
         runs = []
-        for _ in range(3):
+        while len(runs) < 5:
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t0, 3))
+            if len(runs) >= 3 and sorted(runs)[1] <= 1.15 * min(runs):
+                break
         all_runs[name] = runs
         timings[name] = min(runs)
 
