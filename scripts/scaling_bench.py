@@ -90,6 +90,17 @@ def ensure_data(n_urls: int, revisits: int) -> None:
     subprocess.run([sys.executable, "-c", gen], check=True)
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor steal is the
+    only visibility this VM has into co-tenant contention, and it
+    concentrates on BUSY vCPUs, so it must be sampled around each pinned
+    leg, not session-wide."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    ticks = [int(x) for x in parts[1:9]]
+    return ticks[7], sum(ticks)
+
+
 def run_at(cpus: int) -> dict:
     child = _CHILD.format(repo=REPO, data=DATA)
     # taskset pins the WHOLE process tree (JVM incl. GC/shuffle/netty
@@ -97,14 +108,29 @@ def run_at(cpus: int) -> dict:
     # it, local[N] only bounds task slots while the JVM's service threads
     # spill onto every core — which silently inflates the low-N baseline
     # and is not how an N-core executor host behaves.
+    st0, tt0 = _cpu_stat()
+    la0 = os.getloadavg()[0]
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", child, str(cpus)],
         check=True,
         capture_output=True,
         text=True,
     )
+    st1, tt1 = _cpu_stat()
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    # steal as a fraction of the PINNED cores' tick budget (ncpu ticks/s
+    # host-wide; the leg only owns `cpus` of them), so a contaminated leg
+    # is identifiable per-sample instead of inferred from wall-clock later
+    ncpu = os.cpu_count() or 1
+    leg_share = max((tt1 - tt0) * cpus / ncpu, 1)
+    res["host"] = {
+        "steal_pct_host": round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2),
+        "steal_pct_of_pinned": round(100.0 * (st1 - st0) / leg_share, 2),
+        "load1_start": round(la0, 2),
+        "load1_end": round(os.getloadavg()[0], 2),
+    }
+    return res
 
 
 def _burn(_):
