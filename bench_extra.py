@@ -67,7 +67,89 @@ def probe_gapfill(spark):
     print("plan written to /tmp/gapfill_explain.txt")
 
 
-PROBES = {"gapfill": probe_gapfill}
+def _explain(df, path):
+    with open(path, "w") as f:
+        f.write(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"))
+
+
+def probe_heads(spark):
+    """Time every headline query (noop sink) + dump formatted plans."""
+    import __spark_entry__ as E
+
+    names = [
+        "rollup_1m", "rollup_1h", "gapfill_1h", "sax_words_daily",
+        "mindist_topk_daily", "gorilla_roundtrip_1h", "minhash_dupes_docs",
+        "embedding_topk", "dedup_exact_docs", "asof_rollup_1h",
+        "user_sessions_30m", "m4_downsample_1h", "sax_discords_daily",
+    ]
+    qs = E.queries()
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        _explain(df, f"/tmp/plan_{name}.txt")
+        timeit(spark, name, lambda df=df: noop(df), n=3)
+
+
+def probe_mindist(spark):
+    import __spark_entry__ as E
+    from symtseries_spark.operators.index import build_index, knn_query
+
+    words = E._daily_words(spark, SF_DIR)
+    timeit(spark, "daily_words", lambda: noop(words))
+    r = E._events_rollup(spark, SF_DIR, "1h")
+    timeit(spark, "rollup_1h", lambda: noop(r))
+    idx = build_index(words, "1d")
+    timeit(spark, "build_index", lambda: noop(idx))
+    q = knn_query(idx, "DDDDAAAADDDD", 8, k=20, n_query=24)
+    timeit(spark, "knn_full", lambda: noop(q))
+
+
+def probe_gorilla(spark):
+    import __spark_entry__ as E
+    from symtseries_spark.operators.codecs import decode_chunks, encode_chunks
+
+    r = E._events_rollup(spark, SF_DIR, "1h")
+    timeit(spark, "rollup_1h", lambda: noop(r))
+    chunks = encode_chunks(r, "1h", "text_len_avg", chunk_points=256)
+    timeit(spark, "encode", lambda: noop(chunks))
+    dec = decode_chunks(chunks)
+    timeit(spark, "encode+decode", lambda: noop(dec))
+
+
+def probe_minhash(spark):
+    import shutil
+    import __spark_entry__ as E
+    from symtseries_spark.operators import dedup as D
+
+    docs = E._docs(spark, SF_DIR)
+    path = E._ann_index_dir(SF_DIR, "mhsig", "p64k5", src="documents.parquet")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    sig0 = E._minhash_sig(spark, SF_DIR)
+    print(f"{'sig build (cold)':40s} {time.time()-t0:8.3f}", flush=True)
+    timeit(spark, "sig read", lambda: noop(sig0))
+    q = D.minhash_lsh_dupes(docs, threshold=0.5, sig=sig0)
+    _explain(q, "/tmp/plan_minhash_lsh.txt")
+    timeit(spark, "lsh_dupes (stored sig)", lambda: noop(q), n=3)
+
+
+def probe_discords(spark):
+    import __spark_entry__ as E
+
+    w = E._daily_words_stored(spark, SF_DIR)
+    timeit(spark, "stored words read", lambda: noop(w))
+    q = E.queries()["sax_discords_daily"](spark, SF_DIR)
+    timeit(spark, "discords full", lambda: noop(q), n=3)
+
+
+PROBES = {
+    "gapfill": probe_gapfill,
+    "heads": probe_heads,
+    "mindist": probe_mindist,
+    "gorilla": probe_gorilla,
+    "minhash": probe_minhash,
+    "discords": probe_discords,
+}
 
 
 def main():

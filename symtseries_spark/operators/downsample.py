@@ -49,8 +49,15 @@ def m4_downsample(
     # max takes the largest t) — pinned in test_m4_ties_resolve_deterministically
     by_value = F.struct(v.alias("v"), t.alias("t"), tb.alias("tb"))
     bucket = (F.floor(t / F.lit(float(bucket_s))) * bucket_s).cast("long")
+    # One-pixel buckets hold few points (output cardinality ~ input), so
+    # the map-side partial SortAggregate reduces nothing — it only runs a
+    # serial sort inside the scan tasks (a single-file input = ONE core).
+    # Repartition on the group keys first: the one exchange now carries
+    # raw rows of the same width and the sort-aggregate runs post-shuffle
+    # on every core.
     return (
-        df.groupBy(F.col(key_col).alias("key"), bucket.alias("_bsec"))
+        df.repartition(F.col(key_col), bucket)
+        .groupBy(F.col(key_col).alias("key"), bucket.alias("_bsec"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min(by_time).alias("_f"),

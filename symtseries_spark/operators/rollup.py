@@ -71,18 +71,29 @@ def rollup_raw(
     # admit a NULL bucket — filter explicitly to keep both the semantics
     # and the scan-level pushdown
     df = df.filter(F.col(ts_col).isNotNull())
+    # Base-tier group cardinality ~ raw rows (points arrive at roughly the
+    # bucket cadence), so map-side partial aggregation yields no reduction
+    # — it only serializes the hash-table build into the scan tasks (a
+    # single-file input runs it on ONE core). Repartitioning on the group
+    # keys first satisfies the aggregate's required distribution, so the
+    # same single exchange moves (ungrouped) rows of the same width and
+    # the whole aggregation runs post-shuffle on every core. Shuffle
+    # bytes are unchanged (no reduction to lose) at any scale.
     out = (
-        df.groupBy(
+        df.select(
             F.col(key_col).alias("key"),
             bucket_epoch(ts_col, tier).alias("_bsec"),
+            v.alias("_v"),
         )
+        .repartition("key", "_bsec")
+        .groupBy("key", "_bsec")
         .agg(
             F.count(F.lit(1)).alias("crawl_cnt"),
-            F.sum(v).cast("long").alias("text_len_sum"),
-            F.avg(v).alias("text_len_avg"),
-            F.count(v).alias("cnt"),
-            F.sum(v).alias("sum"),
-            F.sum(v * v).alias("sumsq"),
+            F.sum("_v").cast("long").alias("text_len_sum"),
+            F.avg("_v").alias("text_len_avg"),
+            F.count("_v").alias("cnt"),
+            F.sum("_v").alias("sum"),
+            F.sum(F.col("_v") * F.col("_v")).alias("sumsq"),
         )
         .select(
             "key",
@@ -187,9 +198,19 @@ def rollup_quantiles(
     plist = ", ".join(str(p) for p in probs)
     bsec = bucket_epoch(ts_col, tier).alias("_bsec")
     qcol = F.expr(f"{fn}({value_col}, array({plist}){extra})").alias("_q")
-    out = df.groupBy(F.col(key_col).alias("key"), bsec).agg(
-        F.count(value_col).alias("cnt"), qcol
-    )
+    grouped = df.groupBy(F.col(key_col).alias("key"), bsec)
+    if exact:
+        # exact percentile's partial state buffers EVERY value — map-side
+        # aggregation reduces nothing, it only serializes the buffer build
+        # into the scan tasks; shuffle the raw (key, bucket, value) rows
+        # instead and aggregate once post-shuffle on all cores. The approx
+        # sketch path keeps map-side aggregation (fixed-size mergeable
+        # state IS a reduction).
+        grouped = (
+            df.repartition(F.col(key_col), bucket_epoch(ts_col, tier))
+            .groupBy(F.col(key_col).alias("key"), bsec)
+        )
+    out = grouped.agg(F.count(value_col).alias("cnt"), qcol)
     sel = [
         "key",
         F.timestamp_seconds(F.col("_bsec"))
