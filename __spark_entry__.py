@@ -331,7 +331,13 @@ def q_sax_words_daily(spark, sf_dir):
 
 
 def q_mindist_topk_daily(spark, sf_dir):
-    idx = build_index(_daily_words(spark, sf_dir), "1d")
+    # localCheckpoint: the knn plan consumes the index TWICE (the distinct-
+    # vocabulary UDF branch + the broadcast-join-back left side); without a
+    # pin each branch replays the whole rollup+symbolize derivation.
+    # Materializing the NARROW index rows (no series column) runs the
+    # derivation once — an execution detail only, recomputed from parquet
+    # on every call.
+    idx = build_index(_daily_words(spark, sf_dir), "1d").localCheckpoint()
     return knn_query(idx, "DDDDAAAADDDD", 8, k=20, n_query=24).select(
         "key", "window_ts", "word", F.round("mindist", 6).alias("mindist")
     )

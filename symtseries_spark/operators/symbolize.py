@@ -521,9 +521,13 @@ def daily_discords(words: DataFrame, c: int) -> DataFrame:
     from pyspark.sql.types import StructField as _SF
     from pyspark.sql.types import StructType as _ST
 
+    # timestamps cross the Python boundary as epoch-second LONGS in both
+    # directions: converting a list<timestamp> Arrow column to pandas
+    # builds a Timestamp object per element — measured ~0.5 s of the UDF
+    # stage at sf1.0 for pure transport; int64 lists convert zero-copy.
     out_t = _ST(
         [
-            _SF("window_ts", words.schema["window_ts"].dataType),
+            _SF("window_ts", _L()),
             _SF("word", words.schema["word"].dataType),
             _SF("avg_dist", _D()),
             _SF("n_partners", _L()),
@@ -535,7 +539,7 @@ def daily_discords(words: DataFrame, c: int) -> DataFrame:
         out = []
         for tsl, wl, nl in zip(tss, ws, ns):
             D = len(wl)
-            ts = pd.to_datetime(pd.Series(list(tsl))).values
+            ts = np.asarray(tsl, dtype=np.int64)
             wk = np.asarray(wl, dtype=object).astype("U")
             nk = np.asarray(nl, dtype=np.int64)
             comp = np.array(
@@ -579,7 +583,7 @@ def daily_discords(words: DataFrame, c: int) -> DataFrame:
             best = int(np.lexsort((ts, -day_avg))[0])
             out.append(
                 {
-                    "window_ts": pd.Timestamp(ts[best]),
+                    "window_ts": int(ts[best]),
                     "word": str(wk[best]),
                     "avg_dist": float(day_avg[best]),
                     "n_partners": int(D - 1),
@@ -589,12 +593,19 @@ def daily_discords(words: DataFrame, c: int) -> DataFrame:
             out, columns=["window_ts", "word", "avg_dist", "n_partners"]
         )
 
+    ts_type = words.schema["window_ts"].dataType
     agg = (
         words.groupBy("key")
-        .agg(F.collect_list(F.struct("window_ts", "word", "n")).alias("h"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.unix_timestamp("window_ts").alias("tsl"), "word", "n"
+                )
+            ).alias("h")
+        )
         .filter(F.size("h") > 1)  # single-day keys have no partners
     )
-    agg = agg.select("key", "h.window_ts", "h.word", "h.n").toDF(
+    agg = agg.select("key", "h.tsl", "h.word", "h.n").toDF(
         "key", "ts", "ws", "ns"
     )
     # pin parallelism: AQE would size-coalesce the tiny collect_list rows
@@ -603,7 +614,13 @@ def daily_discords(words: DataFrame, c: int) -> DataFrame:
     agg = agg.repartition(par, "key")
     return (
         agg.select("key", _discord("ts", "ws", "ns").alias("s"))
-        .select("key", "s.window_ts", "s.word", "s.avg_dist", "s.n_partners")
+        .select(
+            "key",
+            F.timestamp_seconds(F.col("s.window_ts")).cast(ts_type).alias("window_ts"),
+            "s.word",
+            "s.avg_dist",
+            "s.n_partners",
+        )
     )
 
 
