@@ -70,22 +70,34 @@ def salted_rollup(
     layout costs two shuffles of partial rows instead of three. Callers
     that need key-clustered output (the tier writer) should use this and
     drop their own ``repartition("key")``.
+
+    ``hot_keys=None`` salts EVERY key (round 6): phase 2 merges the ≤S
+    partials per bucket exactly, so the result is identical whichever keys
+    are salted, and unconditional salting deletes the sampled hot-key
+    detection — two driver jobs and a full scan of the source per run
+    (~0.7 s of the warm pipeline wall; at corpus scale a whole extra pass).
+    The cost is bounded: a bucket with k rows emits min(k, S) phase-1
+    partials per map task instead of 1, i.e. map-side reduction is capped
+    at S× worse for genuinely heavy buckets and unchanged where buckets
+    are near-singleton (the base-tier shape). Pass an explicit list to
+    salt only known-hot keys, or [] to disable salting.
     """
-    if hot_keys is None:
-        hot_keys = detect_hot_keys(df, key_col)
+    salt_all = hot_keys is None
     v = value_expr.cast("double")
     ts_type = df.schema[ts_col].dataType.simpleString()
     # keep window()'s implicit ts-not-null semantics + scan pushdown
     df = df.filter(F.col(ts_col).isNotNull())
-    salt = (
-        F.when(
-            F.col(key_col).isin(hot_keys),
-            F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")),
-                   F.lit(salt_buckets)),
-        ).otherwise(F.lit(0))
-        if hot_keys
-        else F.lit(0)
-    )
+    # deterministic-per-task sequential salt: ids are consecutive within a
+    # task, so pmod round-robins a bucket's rows across all S salts with
+    # no hash/string cost; any retry re-salts, and phase 2 re-merges to
+    # the same totals either way
+    seq_salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    if salt_all:
+        salt = seq_salt
+    elif hot_keys:
+        salt = F.when(F.col(key_col).isin(hot_keys), seq_salt).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(
