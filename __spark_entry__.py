@@ -68,14 +68,17 @@ def _emb(spark, sf_dir):
 
 
 def _events_rollup(spark, sf_dir, tier):
+    """Ad-hoc tier derivation for the declared queries: ONE shuffle,
+    grouped directly at the target granularity. The 1m→1h→1d cascade is
+    the STORED-tier design (pipeline.run_pipeline — never rescan raw once
+    the 1m tier is materialized); an ad-hoc query rescans raw either way,
+    so cascading here only added one to two extra shuffles per query.
+    Counts are exactly equal; sums differ from the cascade only in FP
+    summation order (≤ ulp-scale, absorbed by the 6-dp contract rounding
+    — the same cross-engine tolerance the DuckDB oracle already relies
+    on, pinned by the full 50-query hash battery)."""
     ev = _events(spark, sf_dir)
-    r = rollup_raw(ev, "user_id", "ts", F.col("value"), "1m")
-    if tier == "1m":
-        return r
-    r = rollup_cascade(r, "1h")
-    if tier == "1h":
-        return r
-    return rollup_cascade(r, "1d")
+    return rollup_raw(ev, "user_id", "ts", F.col("value"), tier)
 
 
 _ROLLUP_PROJ = lambda df: df.select(  # noqa: E731
