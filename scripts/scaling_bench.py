@@ -101,6 +101,26 @@ def _cpu_stat() -> tuple[int, int]:
     return ticks[7], sum(ticks)
 
 
+def _cpu_stat_pinned(cpus: int) -> tuple[int, int]:
+    """(steal_ticks, total_ticks) summed over the per-CPU lines cpu0..cpu{N-1}
+    — the cores taskset pins the leg to. This is a DIRECT measurement of
+    steal on the pinned set (round-6 ADVICE fix: the old derived figure
+    steal_host × ncpu/cpus assumed all host steal landed on the pinned
+    cores and could exceed 100%)."""
+    steal = total = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if not line.startswith("cpu") or line.startswith("cpu "):
+                continue
+            name = line.split()[0]
+            idx = int(name[3:])
+            if idx < cpus:
+                ticks = [int(x) for x in line.split()[1:9]]
+                steal += ticks[7]
+                total += sum(ticks)
+    return steal, total
+
+
 def run_at(cpus: int) -> dict:
     child = _CHILD.format(repo=REPO, data=DATA)
     # taskset pins the WHOLE process tree (JVM incl. GC/shuffle/netty
@@ -109,6 +129,7 @@ def run_at(cpus: int) -> dict:
     # spill onto every core — which silently inflates the low-N baseline
     # and is not how an N-core executor host behaves.
     st0, tt0 = _cpu_stat()
+    ps0, pt0 = _cpu_stat_pinned(cpus)
     la0 = os.getloadavg()[0]
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", child, str(cpus)],
@@ -117,16 +138,23 @@ def run_at(cpus: int) -> dict:
         text=True,
     )
     st1, tt1 = _cpu_stat()
+    ps1, pt1 = _cpu_stat_pinned(cpus)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
-    # steal as a fraction of the PINNED cores' tick budget (ncpu ticks/s
-    # host-wide; the leg only owns `cpus` of them), so a contaminated leg
-    # is identifiable per-sample instead of inferred from wall-clock later
+    # Three disclosures per leg:
+    #  * steal_pct_host       — VM-wide steal over all vCPUs (conservative)
+    #  * steal_pct_pinned     — DIRECT per-core steal on cpu0..cpu{N-1},
+    #                           the cores the leg is pinned to
+    #  * steal_pct_pinned_ub  — the old derived figure (host steal scaled
+    #    to the pinned share): an UPPER-BOUND ESTIMATE assuming steal
+    #    concentrates on the busy vCPUs; can exceed 100%, kept only for
+    #    comparability with rounds 4-5 records
     ncpu = os.cpu_count() or 1
     leg_share = max((tt1 - tt0) * cpus / ncpu, 1)
     res["host"] = {
         "steal_pct_host": round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 2),
-        "steal_pct_of_pinned": round(100.0 * (st1 - st0) / leg_share, 2),
+        "steal_pct_pinned": round(100.0 * (ps1 - ps0) / max(pt1 - pt0, 1), 2),
+        "steal_pct_pinned_ub": round(100.0 * (st1 - st0) / leg_share, 2),
         "load1_start": round(la0, 2),
         "load1_end": round(os.getloadavg()[0], 2),
     }
