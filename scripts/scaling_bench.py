@@ -259,10 +259,16 @@ def main() -> None:
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # per-run output files: BENCH/BASELINE.md is a CURATED document
+    # holding the full multi-round ladder history and attribution — the
+    # round-5 flow already copied scaling.json to scaling_r5_ladderN.json
+    # by hand; round 6 makes the script write unique names directly so a
+    # run can never clobber the curated record.
+    tag = os.environ.get("SCALING_TAG", time.strftime("%Y%m%d_%H%M%S"))
+    with open(os.path.join(REPO, "BENCH", f"scaling_{tag}.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
-    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+    md = f"""# scaling_{tag}.md — scaling-efficiency evidence (single run)
 
 North rule criterion: **≥ 0.8 throughput scaling efficiency going from N to
 4N executors.** Sandbox proxy (per driver instruction — no real cluster
@@ -307,7 +313,7 @@ measurements are recorded in `BENCH/scaling.json` under `hw_ceiling` /
 `hw_membw_ceiling`.
 
 The pipeline under test is `symtseries_spark.pipeline.run_pipeline`:
-scan (column-pruned) → hot-key detection → salted 1m rollup → 1h/1d
+scan (column-pruned) → salted 1m rollup (unconditional two-phase salt) → 1h/1d
 cascades from re-aggregable partials → window assembly → iSAX
 symbolization (Arrow-vectorized UDF) → inverted index → Gorilla +
 delta-of-delta chunk encoding (partition-batched vectorized bit packing),
@@ -315,7 +321,7 @@ driven by count actions (measures compute + shuffle, not sink disk).
 
 Measured {summary['measured_at']}.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{tag}.md"), "w") as f:
         f.write(md)
     print(json.dumps(summary))
 
