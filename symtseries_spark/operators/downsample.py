@@ -9,12 +9,14 @@ rasterized line exactly while reducing an arbitrarily long series to
 
 Spark shape: ONE aggregation on (key, bucket) using min/max over packed
 comparable structs. Struct min/max lowers to SortAggregate (structs are
-not mutable hash-agg buffer types), but the partial aggregate still runs
-map-side: the single exchange carries 4 structs per (key, pixel) —
-output cardinality — where a row_number window formulation would shuffle
-every raw point and sort it three times by different orderings with no
-partial reduction. The per-partition sort is by the group key only
-(pinned in tests/test_plans.py). Struct comparison is lexicographic
+not mutable hash-agg buffer types); since pixel buckets hold few points
+(output cardinality ~ input rows) a map-side partial reduces nothing, so
+round 6 repartitions on the group keys FIRST and runs the whole
+aggregate post-shuffle on every core — still exactly one exchange,
+carrying rows of the same width, where a row_number window formulation
+would sort the shuffled rows under three different orderings. The
+per-partition sort is by the group key only (pinned in
+tests/test_plans.py). Struct comparison is lexicographic
 (ts, tiebreak, value), making first/last deterministic under equal
 timestamps.
 """

@@ -87,11 +87,18 @@ def salted_rollup(
     ts_type = df.schema[ts_col].dataType.simpleString()
     # keep window()'s implicit ts-not-null semantics + scan pushdown
     df = df.filter(F.col(ts_col).isNotNull())
-    # deterministic-per-task sequential salt: ids are consecutive within a
-    # task, so pmod round-robins a bucket's rows across all S salts with
-    # no hash/string cost; any retry re-salts, and phase 2 re-merges to
-    # the same totals either way
-    seq_salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    # per-TASK-constant salt: every row in a map task shares one salt, so
+    # the phase-1 map-side partial aggregate reduces exactly as well as an
+    # unsalted agg (the salt adds nothing to the within-task group key) —
+    # a per-row round-robin salt would split a bucket's rows across all S
+    # salts inside one task and destroy map-side reduction (measured 4×
+    # the phase-1 shuffle rows on the 69M-row ladder input). Hot-bucket
+    # reducer skew is still solved: a bucket spanning many tasks emits one
+    # partial per task, and those partials carry different salts, so they
+    # spread across S reducers instead of funneling into one. Retries of a
+    # deterministic input split reproduce the same salt; phase 2 merges to
+    # the same totals regardless.
+    seq_salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
     if salt_all:
         salt = seq_salt
     elif hot_keys:

@@ -89,11 +89,13 @@ def test_asof_join_is_single_window_shuffle(spark):
 def test_m4_downsample_is_partial_agg_no_window(spark, sf_dir):
     """M4 compiles to a partial+final aggregate over packed structs.
     Spark lowers struct min/max to SortAggregate (structs aren't mutable
-    hash-buffer types), but the property that matters at scale holds:
-    PARTIAL aggregation runs map-side, so the exchange carries 4 structs
-    per (key, bucket) — output cardinality — where the row_number window
-    formulation would shuffle every raw event and sort it three times by
-    different orderings with no partial reduction."""
+    hash-buffer types). Round 6 moves the whole aggregate POST-shuffle
+    (repartition on the group keys first): pixel buckets hold few points,
+    so the map-side partial reduced nothing and only ran a serial sort
+    inside the scan tasks. The scale property that matters still holds —
+    exactly ONE exchange, carrying rows of the same width as the output
+    cardinality — where the row_number window formulation would sort the
+    shuffled rows under three different orderings."""
     plan = assert_plan(
         E.q_m4_downsample_1h(spark, sf_dir),
         contains=("partial_min", "partial_max"),
