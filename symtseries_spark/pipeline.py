@@ -121,8 +121,7 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
     import, Arrow serializer init) with one trivial task per core. A
     long-running cluster amortizes this to zero, but a one-shot job pays
     it inside its FIRST Arrow stage — which in this pipeline sits in the
-    consumer phase, after two serial JVM-only phases (hot-key detection,
-    rollup write). Kicked off concurrently at pipeline start in its own
+    consumer phase, after the serial JVM-only rollup-write phase. Kicked off concurrently at pipeline start in its own
     FAIR pool, the spawn cost rides under those phases instead."""
 
     def _w(batches):
