@@ -74,18 +74,25 @@ def rollup_raw(
     # Base-tier group cardinality ~ raw rows (points arrive at roughly the
     # bucket cadence), so map-side partial aggregation yields no reduction
     # — it only serializes the hash-table build into the scan tasks (a
-    # single-file input runs it on ONE core). Repartitioning on the group
-    # keys first satisfies the aggregate's required distribution, so the
-    # same single exchange moves (ungrouped) rows of the same width and
-    # the whole aggregation runs post-shuffle on every core. Shuffle
-    # bytes are unchanged (no reduction to lose) at any scale.
+    # single-file input runs it on ONE core). Repartitioning FIRST
+    # satisfies the aggregate's required distribution, so the same single
+    # exchange moves (ungrouped) rows of the same width and the whole
+    # aggregation runs post-shuffle on every core. The partition key is
+    # ``key`` ALONE: hash(key) clusters every bucket of a key into one
+    # partition (a superset clustering of (key, bucket)), and the output
+    # therefore comes out key-partitioned — the exact distribution every
+    # downstream per-key consumer (gapfill windows, window-assembly
+    # groupBy, chunk encoding) needs, so they plan with NO further
+    # exchange. Per-partition locality is bounded: a key holds at most
+    # horizon/bucket rows (retention-bounded); sources with genuinely hot
+    # keys should use operators.skew.salted_rollup instead.
     out = (
         df.select(
             F.col(key_col).alias("key"),
             bucket_epoch(ts_col, tier).alias("_bsec"),
             v.alias("_v"),
         )
-        .repartition("key", "_bsec")
+        .repartition("key")
         .groupBy("key", "_bsec")
         .agg(
             F.count(F.lit(1)).alias("crawl_cnt"),
